@@ -1,0 +1,180 @@
+"""Static-shape RoIAlign for TPU.
+
+TPU-native replacement for `mmcv.ops.RoIAlign(output_size=7,
+sampling_ratio=0, aligned=True)` as used by the reference RoI extractor
+(`mmdet/models/roi_heads/roi_extractors/single_level_roi_extractor.py`).
+
+Design notes (vs the CUDA kernel):
+  * `sampling_ratio=0` in the reference means an adaptive per-RoI sampling
+    grid `ceil(roi_size / out_size)`. That is a data-dependent shape; here
+    the grid is a static `sample_num` (default 2). Because the FPN level
+    router (`floor(log2(sqrt(wh)/56))`) keeps RoI size near 56 px at its
+    level's stride, the adaptive grid is almost always 2 — the fixed grid
+    matches the reference within interpolation noise.
+  * Instead of running the align once per FPN level and masking
+    (`4x` gather traffic), all levels are flattened to one [sum(H*W), C]
+    buffer; each RoI's sample indices are computed against its own level's
+    row offset, so a single gather serves every RoI ("level routing by
+    offset" — the TPU analogue of the reference's per-level gather/scatter
+    at `single_level_roi_extractor.py:58-115`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _bilinear_weights(coord: Array, size: Array):
+    """1-D bilinear sample helper with RoIAlign border semantics.
+
+    Args:
+        coord: [...] fractional sample coordinate.
+        size: scalar or broadcastable int array, the axis length.
+
+    Returns:
+        (lo, hi, w_lo, w_hi, inside): integer taps, weights, and a mask that
+        zeroes samples outside (-1, size) as in the reference kernel.
+    """
+    inside = (coord > -1.0) & (coord < size.astype(coord.dtype))
+    c = jnp.clip(coord, 0.0, size.astype(coord.dtype) - 1.0)
+    lo = jnp.floor(c).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, size - 1)
+    w_hi = c - lo.astype(c.dtype)
+    w_lo = 1.0 - w_hi
+    return lo, hi, w_lo, w_hi, inside
+
+
+def _gather_bilinear(flat_feat: Array, row_offset: Array, w_stride: Array,
+                     xs: Array, ys: Array, fh: Array, fw: Array) -> Array:
+    """Bilinear-sample a flattened [rows, C] feature at (ys, xs).
+
+    row_offset/w_stride/fh/fw are per-RoI scalars ([N]) describing where the
+    RoI's level lives in `flat_feat`.
+    """
+    n, pts = xs.shape
+    x_lo, x_hi, wx_lo, wx_hi, x_in = _bilinear_weights(xs, fw[:, None])
+    y_lo, y_hi, wy_lo, wy_hi, y_in = _bilinear_weights(ys, fh[:, None])
+    inside = (x_in[:, None, :] & y_in[:, :, None]).astype(flat_feat.dtype)
+
+    def flat_idx(y, x):
+        return (row_offset[:, None, None] + y[:, :, None] * w_stride[:, None, None]
+                + x[:, None, :])                        # [N, pts, pts]
+
+    def take(y, x):
+        idx = flat_idx(y, x).reshape(-1)
+        return flat_feat[idx].reshape(n, pts, pts, -1)
+
+    v00 = take(y_lo, x_lo)
+    v01 = take(y_lo, x_hi)
+    v10 = take(y_hi, x_lo)
+    v11 = take(y_hi, x_hi)
+
+    wy_lo = wy_lo[:, :, None, None]
+    wy_hi = wy_hi[:, :, None, None]
+    wx_lo = wx_lo[:, None, :, None]
+    wx_hi = wx_hi[:, None, :, None]
+    val = (v00 * wy_lo * wx_lo + v01 * wy_lo * wx_hi
+           + v10 * wy_hi * wx_lo + v11 * wy_hi * wx_hi)
+    return val * inside[..., None]                      # [N, pts, pts, C]
+
+
+@functools.partial(jax.jit, static_argnames=('out_size', 'sample_num',
+                                             'aligned', 'spatial_scale'))
+def roi_align(feat: Array, rois: Array, spatial_scale: float,
+              out_size: int = 7, sample_num: int = 2,
+              aligned: bool = True) -> Array:
+    """Single-level RoIAlign.
+
+    Args:
+        feat: [H, W, C] (NHWC, single image).
+        rois: [N, 4] boxes in image coordinates.
+
+    Returns:
+        [N, out_size, out_size, C] pooled features (mean over samples).
+    """
+    h, w, c = feat.shape
+    n = rois.shape[0]
+    scale = jnp.full((n,), spatial_scale, rois.dtype)
+    xs, ys = _sample_coords_per_roi(rois, scale, out_size, sample_num,
+                                    aligned)
+    flat = feat.reshape(h * w, c)
+    zeros = jnp.zeros((n,), jnp.int32)
+    val = _gather_bilinear(flat, zeros, jnp.full((n,), w, jnp.int32), xs, ys,
+                           jnp.full((n,), h, jnp.int32),
+                           jnp.full((n,), w, jnp.int32))
+    # average samples within each bin
+    val = val.reshape(n, out_size, sample_num, out_size, sample_num, c)
+    return val.mean(axis=(2, 4))
+
+
+def map_roi_levels(rois: Array, num_levels: int,
+                   finest_scale: int = 56) -> Array:
+    """FPN level for each RoI (`single_level_roi_extractor.py:36-57`)."""
+    scale = jnp.sqrt((rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+
+
+def multilevel_roi_align(feats: Sequence[Array], rois: Array,
+                         strides: Sequence[int], out_size: int = 7,
+                         sample_num: int = 2, finest_scale: int = 56,
+                         aligned: bool = True) -> Array:
+    """RoIAlign over an FPN pyramid with offset-based level routing.
+
+    Args:
+        feats: per-level [H_l, W_l, C] maps (single image), same C.
+        rois: [N, 4].
+        strides: per-level image strides (e.g. [4, 8, 16, 32]).
+
+    Returns:
+        [N, out_size, out_size, C].
+    """
+    num_levels = len(feats)
+    c = feats[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+
+    heights = jnp.asarray([f.shape[0] for f in feats], jnp.int32)
+    widths = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
+    sizes = [f.shape[0] * f.shape[1] for f in feats]
+    offsets = jnp.asarray([sum(sizes[:i]) for i in range(num_levels)],
+                          jnp.int32)
+    inv_strides = jnp.asarray([1.0 / s for s in strides], rois.dtype)
+
+    lvl = map_roi_levels(rois, num_levels, finest_scale)
+    scale = inv_strides[lvl]                             # [N]
+    xs, ys = _sample_coords_per_roi(rois, scale, out_size, sample_num,
+                                    aligned)
+    val = _gather_bilinear(flat, offsets[lvl], widths[lvl], xs, ys,
+                           heights[lvl], widths[lvl])
+    n = rois.shape[0]
+    val = val.reshape(n, out_size, sample_num, out_size, sample_num, c)
+    return val.mean(axis=(2, 4))
+
+
+def _sample_coords_per_roi(rois: Array, scale: Array, out_size: int,
+                           sample_num: int, aligned: bool):
+    """Like `_sample_coords` but with a per-RoI spatial scale ([N])."""
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 0] * scale - offset
+    y1 = rois[:, 1] * scale - offset
+    x2 = rois[:, 2] * scale - offset
+    y2 = rois[:, 3] * scale - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_w = roi_w / out_size
+    bin_h = roi_h / out_size
+    p = jnp.arange(out_size, dtype=rois.dtype)
+    s = (jnp.arange(sample_num, dtype=rois.dtype) + 0.5) / sample_num
+    frac = (p[:, None] + s[None, :]).reshape(-1)
+    xs = x1[:, None] + frac[None, :] * bin_w[:, None]
+    ys = y1[:, None] + frac[None, :] * bin_h[:, None]
+    return xs, ys

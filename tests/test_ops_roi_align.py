@@ -1,0 +1,95 @@
+"""RoIAlign vs a naive per-sample numpy reference (aligned=True mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hrfuser_tpu.ops import map_roi_levels, multilevel_roi_align, roi_align
+
+
+def _np_roi_align(feat, rois, scale, out, samples, aligned=True):
+    """Naive loop reference for RoIAlign with fixed sampling grid."""
+    h, w, c = feat.shape
+    n = len(rois)
+    res = np.zeros((n, out, out, c), np.float32)
+    off = 0.5 if aligned else 0.0
+    for i, (x1, y1, x2, y2) in enumerate(rois):
+        sx1, sy1 = x1 * scale - off, y1 * scale - off
+        rw, rh = (x2 - x1) * scale, (y2 - y1) * scale
+        if not aligned:
+            rw, rh = max(rw, 1.0), max(rh, 1.0)
+        bw, bh = rw / out, rh / out
+        for py in range(out):
+            for px in range(out):
+                acc = np.zeros(c, np.float32)
+                for iy in range(samples):
+                    for ix in range(samples):
+                        y = sy1 + py * bh + (iy + 0.5) * bh / samples
+                        x = sx1 + px * bw + (ix + 0.5) * bw / samples
+                        if y < -1.0 or y > h or x < -1.0 or x > w:
+                            continue
+                        y = min(max(y, 0.0), h - 1)
+                        x = min(max(x, 0.0), w - 1)
+                        y0, x0 = int(np.floor(y)), int(np.floor(x))
+                        y1_, x1_ = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                        wy1, wx1 = y - y0, x - x0
+                        wy0, wx0 = 1 - wy1, 1 - wx1
+                        acc += (feat[y0, x0] * wy0 * wx0
+                                + feat[y0, x1_] * wy0 * wx1
+                                + feat[y1_, x0] * wy1 * wx0
+                                + feat[y1_, x1_] * wy1 * wx1)
+                res[i, py, px] = acc / (samples * samples)
+    return res
+
+
+def test_roi_align_matches_naive():
+    rng = np.random.default_rng(0)
+    feat = rng.normal(0, 1, (24, 32, 8)).astype(np.float32)
+    rois = np.array([[4., 4., 60., 44.],
+                     [0., 0., 127., 95.],
+                     [10.3, 7.7, 50.1, 33.3],
+                     [100., 80., 120., 92.]], np.float32)
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                               spatial_scale=0.25, out_size=7, sample_num=2))
+    ref = _np_roi_align(feat, rois, 0.25, 7, 2)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_roi_align_outside_roi_is_zero():
+    feat = np.ones((16, 16, 2), np.float32)
+    # roi fully outside the feature map
+    rois = np.array([[-400., -400., -200., -200.]], np.float32)
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                               spatial_scale=0.25, out_size=7))
+    np.testing.assert_allclose(got, 0.0)
+
+
+def test_map_roi_levels():
+    # scale 56 -> level 0; 112 -> 1; 448 -> 3; tiny -> 0; giant -> clamp 3
+    rois = np.array([[0, 0, 56, 56],
+                     [0, 0, 112, 112],
+                     [0, 0, 448, 448],
+                     [0, 0, 8, 8],
+                     [0, 0, 2000, 2000]], np.float32)
+    lvl = np.asarray(map_roi_levels(jnp.asarray(rois), 4))
+    assert lvl.tolist() == [0, 1, 3, 0, 3]
+
+
+def test_multilevel_matches_single_level():
+    rng = np.random.default_rng(1)
+    feats = [rng.normal(0, 1, (96 // 2**i, 160 // 2**i, 4)).astype(np.float32)
+             for i in range(4)]
+    strides = [4, 8, 16, 32]
+    # one roi per level (sized to land exactly on that level)
+    rois = np.array([[10., 10., 10. + 50., 10. + 50.],     # ~50  -> lvl 0
+                     [10., 10., 10. + 150., 10. + 150.],   # ~150 -> lvl 1
+                     [10., 10., 10. + 250., 10. + 250.],   # ~250 -> lvl 2
+                     [10., 10., 10. + 500., 10. + 350.]],  # big  -> lvl 3
+                    np.float32)
+    got = np.asarray(multilevel_roi_align(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rois), strides))
+    lvls = np.asarray(map_roi_levels(jnp.asarray(rois), 4))
+    for i, lvl in enumerate(lvls):
+        single = np.asarray(roi_align(jnp.asarray(feats[lvl]),
+                                      jnp.asarray(rois[i:i + 1]),
+                                      spatial_scale=1.0 / strides[lvl]))
+        np.testing.assert_allclose(got[i], single[0], atol=1e-4)
