@@ -1,0 +1,75 @@
+"""Benchmark: HRFuser-T nuScenes r640 3-modality inference fps/chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+Baseline note: the reference repo publishes no throughput numbers
+(BASELINE.md). `vs_baseline` is computed against a 10 fps/GPU proxy for
+the PyTorch reference (HRFuser-T cascade inference at 640x384 on the
+reference's CUDA-10.1-era hardware); BASELINE.json's north star is >10x
+that proxy, i.e. vs_baseline >= 10.
+"""
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_FPS_PROXY = 10.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quick', action='store_true',
+                    help='small spatial size + fewer iters (CPU smoke)')
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--f32', action='store_true',
+                    help='disable bf16 compute (default: bf16 on TPU)')
+    args = ap.parse_args()
+
+    from hrfuser_tpu.configs import get_config
+    from hrfuser_tpu.models import CascadeRCNN, predict
+
+    if args.quick:
+        cfg = get_config('tiny_fusion_test')
+        h, w, batch, iters = 64, 96, 2, 3
+    else:
+        cfg = get_config('cascade_rcnn_hrfuser_t_1x_nus_r640_l_r_fusion')
+        h, w, batch, iters = 384, 640, args.batch, args.iters
+
+    on_tpu = jax.devices()[0].platform != 'cpu'
+    dtype = None if (args.f32 or not on_tpu) else jnp.bfloat16
+    det = CascadeRCNN(cfg.model, dtype=dtype)
+    nmod = cfg.model.backbone.num_fused_modalities
+    img = jnp.zeros((batch, h, w, 3), jnp.float32)
+    mods = [jnp.zeros((batch, h, w, c), jnp.float32)
+            for c in (cfg.model.backbone.mod_in_channels or [])][:nmod]
+
+    variables = jax.jit(functools.partial(det.init, train=False))(
+        jax.random.PRNGKey(0), img, mods if nmod else None)
+
+    pred = jax.jit(functools.partial(predict, det))
+    out = pred(variables, img, mods if nmod else None)
+    jax.block_until_ready(out)                     # compile
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pred(variables, img, mods if nmod else None)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(json.dumps({
+        'metric': 'hrfuser_t_nus_r640_3mod_inference_fps_per_chip',
+        'value': round(fps, 2),
+        'unit': 'frames/sec/chip',
+        'vs_baseline': round(fps / REFERENCE_FPS_PROXY, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

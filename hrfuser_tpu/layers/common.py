@@ -1,0 +1,175 @@
+"""Basic NN building blocks (flax.linen, NHWC).
+
+Conventions:
+  * Layout is NHWC; conv kernels HWIO. Padding is always explicit
+    torch-style (e.g. 3x3 stride-2 pad-1) so shapes match the reference
+    (`mmdet/models/backbones/hrnet.py` stem et al.) exactly.
+  * BatchNorm follows torch semantics (eps 1e-5, running-stat momentum
+    0.1 => flax momentum 0.9). Under `jit` with a batch-sharded mesh the
+    batch-stat reduction is global, which *is* SyncBN — no NCCL analogue
+    needed (SURVEY §2.7).
+  * Every module takes `train: bool`; BN uses running stats when not
+    training, DropPath/Dropout become identity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jnp.ndarray
+Dtype = Any
+
+
+def torch_pad(k: int) -> Sequence[Tuple[int, int]]:
+    """Explicit symmetric padding equal to torch's `padding=k//2` for odd k."""
+    p = k // 2
+    return ((p, p), (p, p))
+
+
+class BatchNorm(nn.Module):
+    """Torch-compatible BatchNorm2d (NHWC, channel-last)."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            name='bn')(x)
+
+
+class ConvNorm(nn.Module):
+    """Conv -> BN (-> ReLU). The workhorse of the HRNet trunk."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    act: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=self.stride, padding=torch_pad(self.kernel),
+                    feature_group_count=self.groups, use_bias=self.use_bias,
+                    dtype=self.dtype, name='conv')(x)
+        x = BatchNorm(dtype=self.dtype, name='norm')(x, train)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference: mmcv DropPath)."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool) -> Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng('dropout')
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return x * mask.astype(x.dtype) / keep
+
+
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock (`mmdet/models/backbones/resnet.py`), expansion 1.
+
+    3x3(s) -> BN -> ReLU -> 3x3 -> BN, residual (+ optional 1x1 downsample),
+    ReLU.
+    """
+    planes: int
+    stride: int = 1
+    with_downsample: bool = False
+    dtype: Optional[Dtype] = None
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        identity = x
+        out = ConvNorm(self.planes, 3, self.stride, act=True,
+                       dtype=self.dtype, name='conv1')(x, train)
+        out = ConvNorm(self.planes, 3, 1, act=False,
+                       dtype=self.dtype, name='conv2')(out, train)
+        if self.with_downsample:
+            identity = ConvNorm(self.planes * self.expansion, 1, self.stride,
+                                act=False, dtype=self.dtype,
+                                name='downsample')(x, train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """ResNet Bottleneck (pytorch style: stride on the 3x3), expansion 4."""
+    planes: int
+    stride: int = 1
+    with_downsample: bool = False
+    dtype: Optional[Dtype] = None
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        identity = x
+        out = ConvNorm(self.planes, 1, 1, act=True,
+                       dtype=self.dtype, name='conv1')(x, train)
+        out = ConvNorm(self.planes, 3, self.stride, act=True,
+                       dtype=self.dtype, name='conv2')(out, train)
+        out = ConvNorm(self.planes * self.expansion, 1, 1, act=False,
+                       dtype=self.dtype, name='conv3')(out, train)
+        if self.with_downsample:
+            identity = ConvNorm(self.planes * self.expansion, 1, self.stride,
+                                act=False, dtype=self.dtype,
+                                name='downsample')(x, train)
+        return nn.relu(out + identity)
+
+
+BLOCK_CLASSES = {'BASIC': BasicBlock, 'BOTTLENECK': Bottleneck}
+
+
+class ResLayer(nn.Module):
+    """A run of BasicBlocks/Bottlenecks with automatic downsample on entry.
+
+    Mirrors `HRNet._make_layer` / `HRModule._make_one_branch`.
+    """
+    block: str
+    planes: int
+    num_blocks: int
+    in_channels: int
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        cls = BLOCK_CLASSES[self.block]
+        out_ch = self.planes * cls.expansion
+        need_ds = self.stride != 1 or self.in_channels != out_ch
+        x = cls(self.planes, self.stride, with_downsample=need_ds,
+                dtype=self.dtype, name='block0')(x, train)
+        for i in range(1, self.num_blocks):
+            x = cls(self.planes, 1, with_downsample=False, dtype=self.dtype,
+                    name=f'block{i}')(x, train)
+        return x
+
+
+def nearest_up(x: Array, factor: int) -> Array:
+    """Integer nearest-neighbour upsampling (torch Upsample(mode=nearest))."""
+    x = jnp.repeat(x, factor, axis=1)
+    return jnp.repeat(x, factor, axis=2)
+
+
+def bilinear_resize(x: Array, out_hw: Tuple[int, int]) -> Array:
+    """Bilinear resize, half-pixel centers (= torch align_corners=False)."""
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method='bilinear')

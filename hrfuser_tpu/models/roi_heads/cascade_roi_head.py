@@ -1,0 +1,128 @@
+"""Cascade RoI head: 3-stage refinement with static shapes.
+
+Rebuild of `CascadeRoIHead.simple_test`
+(`mmdet/models/roi_heads/cascade_roi_head.py:288-411`): per stage,
+RoIAlign + Shared2FC head; between stages, RoIs are refined by decoding
+the class-agnostic deltas (`regress_by_class`, reg-agnostic path); stage
+logits are averaged and softmaxed once, then multiclass NMS produces the
+final fixed-size detection set.
+
+Everything here operates on a single image (batch via `vmap`); RoIs are a
+fixed-size set with a validity mask (invalid rows are zero boxes whose
+pooled features and scores are discarded through the -inf score path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hrfuser_tpu.models.roi_heads.bbox_head import Shared2FCBBoxHead
+from hrfuser_tpu.ops.boxes import delta2bbox
+from hrfuser_tpu.ops.nms import NEG_INF, multiclass_nms
+from hrfuser_tpu.ops.roi_align import multilevel_roi_align
+
+Array = jnp.ndarray
+
+# Per-stage delta std schedule (`cascade_rcnn_hrfuser_fpn_nus_clr_fusion.py`).
+STAGE_STDS = ((0.1, 0.1, 0.2, 0.2), (0.05, 0.05, 0.1, 0.1),
+              (0.033, 0.033, 0.067, 0.067))
+
+
+@dataclasses.dataclass(frozen=True)
+class RoIHeadCfg:
+    num_classes: int
+    num_stages: int = 3
+    stage_loss_weights: Tuple[float, ...] = (1.0, 0.5, 0.25)
+    stage_stds: Tuple[Tuple[float, ...], ...] = STAGE_STDS
+    fc_out_channels: int = 1024
+    roi_size: int = 7
+    sample_num: int = 2
+    finest_scale: int = 56
+    featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
+    # test cfg (`:289-292`)
+    score_thr: float = 0.05
+    nms_iou: float = 0.5
+    max_per_img: int = 100
+
+
+class Detections(NamedTuple):
+    boxes: Array        # [max_per_img, 4]
+    scores: Array       # [max_per_img]
+    labels: Array       # [max_per_img] int32, -1 padding
+    valid: Array        # [max_per_img] bool
+
+
+class CascadeRoIHead(nn.Module):
+    cfg: RoIHeadCfg
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        self.bbox_heads = [
+            Shared2FCBBoxHead(self.cfg.num_classes,
+                              self.cfg.fc_out_channels, dtype=self.dtype,
+                              name=f'bbox_head{i}')
+            for i in range(self.cfg.num_stages)
+        ]
+
+    def _pool(self, feats: Sequence[Array], rois: Array) -> Array:
+        return multilevel_roi_align(
+            list(feats), rois, list(self.cfg.featmap_strides),
+            out_size=self.cfg.roi_size, sample_num=self.cfg.sample_num,
+            finest_scale=self.cfg.finest_scale)
+
+    def forward_stage(self, stage: int, feats: Sequence[Array],
+                      rois: Array) -> Tuple[Array, Array]:
+        pooled = self._pool(feats, rois).astype(
+            self.dtype or jnp.float32)
+        return self.bbox_heads[stage](pooled)
+
+    def __call__(self, feats: Sequence[Array], rois: Array):
+        """Train-mode single-stage forward (used for init); see
+        `simple_test` for the full cascade."""
+        return self.forward_stage(0, feats, rois)
+
+    def simple_test(self, feats: Sequence[Array], proposals: Array,
+                    proposal_valid: Array, img_shape, scale_factor,
+                    rescale: bool = True) -> Detections:
+        """Single-image cascade inference.
+
+        Args:
+            feats: 4 pyramid levels [H_l, W_l, C] (strides 4..32; the
+                stride-64 level is RPN-only, as in the reference extractor).
+            proposals: [R, 4] RPN boxes (padded with zeros).
+            proposal_valid: [R] bool.
+            img_shape: (h, w) traced scalars for clipping.
+            scale_factor: [4] (sx, sy, sx, sy) for rescale to orig image.
+        """
+        cfg = self.cfg
+        rois = proposals
+        ms_logits = []
+        deltas = None
+        for i in range(cfg.num_stages):
+            logits, deltas = self.forward_stage(i, feats, rois)
+            ms_logits.append(logits)
+            if i < cfg.num_stages - 1:
+                # refine: decode class-agnostic deltas on current rois
+                cls_label = jnp.argmax(logits[:, :-1], axis=-1)
+                del cls_label  # reg_class_agnostic: label unused
+                rois = delta2bbox(rois, deltas, stds=cfg.stage_stds[i],
+                                  max_shape=img_shape)
+
+        avg_logits = sum(ms_logits) / float(len(ms_logits))
+        scores = jax.nn.softmax(avg_logits, axis=-1)
+        boxes = delta2bbox(rois, deltas, stds=cfg.stage_stds[-1],
+                           max_shape=img_shape)
+        if rescale:
+            boxes = boxes / jnp.asarray(scale_factor, boxes.dtype)
+
+        # invalid proposals must not produce detections
+        scores = jnp.where(proposal_valid[:, None], scores, 0.0)
+
+        out_boxes, out_scores, out_labels, out_valid = multiclass_nms(
+            boxes, scores, cfg.score_thr, cfg.nms_iou, cfg.max_per_img)
+        return Detections(out_boxes, out_scores, out_labels, out_valid)

@@ -1,12 +1,13 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Set before JAX import so `jax.devices()` reports 8 CPU devices; sharding
-tests exercise real (virtual) multi-device paths without TPU hardware.
+NOTE: in this environment the TPU platform plugin ignores the
+`JAX_PLATFORMS` env var; only `jax.config.update('jax_platforms', ...)`
+reliably selects CPU. `XLA_FLAGS` is read at backend initialization, so
+setting it here (before any backend use) still applies.
 """
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
@@ -14,4 +15,5 @@ if 'xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'float32')

@@ -1,0 +1,119 @@
+"""Model stack tests on a miniature config (fast CPU compiles)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hrfuser_tpu.configs import get_config
+from hrfuser_tpu.layers import HRFormerBlock, HRFuserFusionBlock
+from hrfuser_tpu.models import CascadeRCNN, predict
+
+
+@pytest.fixture(scope='module')
+def tiny_fusion():
+    cfg = get_config('tiny_fusion_test')
+    det = CascadeRCNN(cfg.model)
+    img = jnp.zeros((2, 64, 96, 3))
+    mods = [jnp.zeros((2, 64, 96, 3))] * 2
+    variables = jax.jit(functools.partial(det.init, train=False))(
+        jax.random.PRNGKey(0), img, mods)
+    return cfg, det, variables
+
+
+def test_backbone_feature_shapes(tiny_fusion):
+    cfg, det, variables = tiny_fusion
+    img = jnp.zeros((2, 64, 96, 3))
+    mods = [jnp.zeros((2, 64, 96, 3))] * 2
+    feats, cls_scores, bbox_preds = det.apply(
+        variables, img, mods, False, method='forward_features')
+    assert [f.shape for f in feats] == [
+        (2, 16, 24, 32), (2, 8, 12, 32), (2, 4, 6, 32), (2, 2, 3, 32),
+        (2, 1, 1, 32)]
+    assert [s.shape[-1] for s in cls_scores] == [3] * 5
+    assert [p.shape[-1] for p in bbox_preds] == [12] * 5
+
+
+def test_predict_end_to_end(tiny_fusion):
+    cfg, det, variables = tiny_fusion
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(0, 1, (2, 64, 96, 3)), jnp.float32)
+    mods = [jnp.asarray(rng.normal(0, 1, (2, 64, 96, 3)), jnp.float32)
+            for _ in range(2)]
+    out = jax.jit(functools.partial(predict, det))(variables, img, mods)
+    assert out.boxes.shape == (2, 20, 4)
+    assert out.scores.shape == (2, 20)
+    assert out.labels.shape == (2, 20)
+    v = np.asarray(out.valid)
+    b = np.asarray(out.boxes)
+    s = np.asarray(out.scores)
+    lbl = np.asarray(out.labels)
+    assert np.isfinite(b).all()
+    # valid boxes inside the image, labels in range
+    assert (b[v][:, 2] >= b[v][:, 0]).all()
+    assert (lbl[v] >= 0).all() and (lbl[v] < 4).all()
+    assert (s[v] > 0.05).all()
+    # padded rows zeroed / -1
+    assert (b[~v] == 0).all() and (lbl[~v] == -1).all()
+
+
+def test_modality_drop_invariance_shape(tiny_fusion):
+    """Zeroed modality stream (RandomDrop semantics) must still run."""
+    cfg, det, variables = tiny_fusion
+    img = jnp.ones((1, 64, 96, 3))
+    mods = [jnp.zeros((1, 64, 96, 3)), jnp.ones((1, 64, 96, 3))]
+    out = jax.jit(functools.partial(predict, det))(variables, img, mods)
+    assert np.isfinite(np.asarray(out.boxes)).all()
+
+
+def test_camera_only_model():
+    cfg = get_config('tiny_camera_test')
+    det = CascadeRCNN(cfg.model)
+    img = jnp.zeros((1, 64, 96, 3))
+    variables = jax.jit(functools.partial(det.init, train=False))(
+        jax.random.PRNGKey(0), img, None)
+    out = jax.jit(functools.partial(predict, det))(variables, img, None)
+    assert out.boxes.shape == (1, 20, 4)
+
+
+def test_hrformer_block_shapes():
+    blk = HRFormerBlock(num_heads=2, window_size=7)
+    x = jnp.zeros((2, 10, 13, 16))
+    v = blk.init(jax.random.PRNGKey(0), x, train=False)
+    y = blk.apply(v, x, train=False)
+    assert y.shape == x.shape
+    # params: fused qkv + rpe table present
+    p = v['params']
+    assert p['attn']['qkv']['kernel'].shape == (16, 48)
+    assert p['attn']['rpe']['relative_position_bias_table'].shape == (169, 2)
+
+
+def test_fusion_block_residual_semantics():
+    """With zeroed attention outputs, x' = x + sum_k z_k (+ FFN path)."""
+    blk = HRFuserFusionBlock(num_heads=1, num_modalities=2, window_size=7)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (1, 7, 7, 8)), jnp.float32)
+    mods = [jnp.asarray(rng.normal(0, 1, (1, 7, 7, 8)), jnp.float32)
+            for _ in range(2)]
+    v = blk.init(jax.random.PRNGKey(0), x, mods, train=False)
+
+    # zero the attention out-projections and the FFN last conv + BN scale
+    p = jax.tree_util.tree_map(lambda a: a, v['params'])
+    for k in range(2):
+        p[f'attn_{k}']['out_proj']['kernel'] = jnp.zeros_like(
+            p[f'attn_{k}']['out_proj']['kernel'])
+        p[f'attn_{k}']['out_proj']['bias'] = jnp.zeros_like(
+            p[f'attn_{k}']['out_proj']['bias'])
+    p['ffn']['fc2']['kernel'] = jnp.zeros_like(p['ffn']['fc2']['kernel'])
+    p['ffn']['fc2']['bias'] = jnp.zeros_like(p['ffn']['fc2']['bias'])
+    p['ffn']['norm3']['bn']['scale'] = jnp.zeros_like(
+        p['ffn']['norm3']['bn']['scale'])
+    p['ffn']['norm3']['bn']['bias'] = jnp.zeros_like(
+        p['ffn']['norm3']['bn']['bias'])
+    newv = dict(v, params=p)
+    y = blk.apply(newv, x, mods, train=False)
+    # FFN contributes gelu(0) = 0; attention contributes 0 -> pure residual
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(x + mods[0] + mods[1]), atol=1e-5)

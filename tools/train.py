@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Rebuild of the reference `tools/train.py`: config name -> build model +
+dataset -> train with checkpoints and per-interval logging. Distribution
+is automatic: the batch is sharded over all visible devices (DP over
+ICI); run under a multi-host TPU runtime after
+`jax.distributed.initialize()` for slices.
+
+Usage:
+    python tools/train.py cascade_rcnn_hrfuser_t_1x_nus_r640_l_r_fusion \
+        --data-root data/nuscenes [--work-dir work_dirs/...] [--resume-from X]
+    python tools/train.py tiny_fusion_test --synthetic --max-iters 5
+"""
+
+from __future__ import annotations
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+import argparse
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Train a detector')
+    p.add_argument('config', help='config name or path')
+    p.add_argument('--data-root', default='')
+    p.add_argument('--work-dir', default=None)
+    p.add_argument('--resume-from', default=None)
+    p.add_argument('--load-from', default=None)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--synthetic', action='store_true',
+                   help='random data (pipeline smoke / benchmarking)')
+    p.add_argument('--max-iters', type=int, default=None)
+    p.add_argument('--log-interval', type=int, default=50)
+    p.add_argument('--ckpt-interval-epochs', type=int, default=1)
+    p.add_argument('--img-hw', type=int, nargs=2, default=None,
+                   help='override input H W (synthetic mode)')
+    return p.parse_args()
+
+
+def synthetic_batches(cfg, batch_size, hw=None):
+    nmod = cfg.model.backbone.num_fused_modalities
+    mod_ch = cfg.model.backbone.mod_in_channels
+    if hw is None:
+        w, h = cfg.data.img_scale
+        h = (h + 31) // 32 * 32
+        w = (w + 31) // 32 * 32
+    else:
+        h, w = hw
+    rng = np.random.default_rng(0)
+    while True:
+        batch = dict(
+            img=rng.normal(0, 1, (batch_size, h, w, 3)).astype(np.float32),
+            gt_boxes=np.tile(np.asarray(
+                [[[10., 10., 100., 80.], [50., 30., 200., 160.]]],
+                np.float32), (batch_size, 1, 1)),
+            gt_labels=np.tile(np.asarray([[0, 1]], np.int32),
+                              (batch_size, 1)),
+            gt_valid=np.ones((batch_size, 2), bool),
+        )
+        if nmod:
+            batch['mod_imgs'] = [
+                rng.normal(0, 1, (batch_size, h, w, c)).astype(np.float32)
+                for c in mod_ch]
+        yield batch
+
+
+def main():
+    args = parse_args()
+    from hrfuser_tpu.configs import get_config
+    from hrfuser_tpu.models import CascadeRCNN
+    from hrfuser_tpu.apis.train import create_train_state
+    from hrfuser_tpu.parallel.api import make_sharded_train_step
+    from hrfuser_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from hrfuser_tpu.utils.checkpoint import (load_state, load_weights,
+                                              save_checkpoint)
+
+    cfg = get_config(args.config)
+    work_dir = args.work_dir or os.path.join('work_dirs', cfg.name)
+    os.makedirs(work_dir, exist_ok=True)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    batch_size = cfg.schedule.samples_per_device * n_dev
+    print(f'[train] {cfg.name}: {n_dev} devices, global batch {batch_size}')
+
+    det = CascadeRCNN(cfg.model)
+    nmod = cfg.model.backbone.num_fused_modalities
+
+    if args.synthetic:
+        loader = None
+        batches = synthetic_batches(cfg, batch_size,
+                                    tuple(args.img_hw) if args.img_hw
+                                    else None)
+        steps_per_epoch = 100
+    else:
+        from hrfuser_tpu.data.loader import DetDataLoader
+        if cfg.data.dataset == 'stf':
+            from hrfuser_tpu.data.datasets.kitti2d import Kitti2DDataset
+            dataset = Kitti2DDataset('dense_infos_train.pkl',
+                                     cfg.data.classes,
+                                     data_root=args.data_root)
+        else:
+            from hrfuser_tpu.data.datasets.coco import CocoFusionDataset
+            dataset = CocoFusionDataset(
+                'nuscenes_infos_train_mono3d.coco.json', cfg.data.classes,
+                data_root=args.data_root)
+        loader = DetDataLoader(dataset, cfg.data, batch_size, train=True,
+                               seed=args.seed)
+        steps_per_epoch = len(loader)
+        batches = None
+
+    # init on an example batch shape
+    example = next(batches) if batches else next(iter(loader))
+    img = jnp.asarray(example['img'][:1])
+    mods = ([jnp.asarray(m[:1]) for m in example['mod_imgs']]
+            if nmod else None)
+    t0 = time.time()
+    variables = jax.jit(functools.partial(det.init, train=False))(
+        jax.random.PRNGKey(args.seed), img, mods)
+    print(f'[train] init {time.time() - t0:.1f}s; '
+          f'{sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"])) / 1e6:.1f}M params')
+
+    if args.load_from:
+        variables = load_weights(args.load_from, variables)
+
+    state, tx = create_train_state(det, variables, cfg.optim, cfg.schedule,
+                                   steps_per_epoch)
+    if args.resume_from:
+        state = load_state(args.resume_from, state)
+
+    step_fn = make_sharded_train_step(det, tx, mesh)
+    state = replicate(mesh, state)
+    rng = replicate(mesh, jax.random.PRNGKey(args.seed))
+
+    total_iters = args.max_iters or steps_per_epoch * cfg.schedule.max_epochs
+    start = int(np.asarray(state.step))
+    it = start
+    t_log = time.time()
+
+    def batch_iter():
+        if batches is not None:
+            while True:
+                yield from [next(batches)]
+        else:
+            while True:
+                yield from loader
+
+    for batch in batch_iter():
+        if it >= total_iters:
+            break
+        metas = batch.pop('metas', None)
+        batch.pop('num_real', None)
+        batch = shard_batch(mesh, {k: (v if not isinstance(v, list)
+                                       else [jnp.asarray(x) for x in v])
+                                   for k, v in batch.items()})
+        state, metrics = step_fn(state, batch, rng)
+        it += 1
+        if it % args.log_interval == 0 or it == total_iters:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t_log
+            t_log = time.time()
+            ips = args.log_interval * batch_size / max(dt, 1e-6)
+            comp = ' '.join(f'{k}={v:.4f}' for k, v in sorted(m.items()))
+            print(f'[iter {it}/{total_iters}] {ips:.1f} img/s {comp}')
+        if it % (steps_per_epoch * args.ckpt_interval_epochs) == 0:
+            save_checkpoint(work_dir, it, jax.device_get(state),
+                            meta=dict(config=cfg.name,
+                                      classes=list(cfg.data.classes)))
+            print(f'[ckpt] saved step {it} -> {work_dir}')
+
+    save_checkpoint(work_dir, it, jax.device_get(state),
+                    meta=dict(config=cfg.name,
+                              classes=list(cfg.data.classes)))
+    print(f'[done] {it} iters; final checkpoint in {work_dir}')
+
+
+if __name__ == '__main__':
+    main()
