@@ -24,6 +24,18 @@ import numpy as np
 
 
 def _imread(path: str, flag: str = 'color') -> np.ndarray:
+    """Image read; prefers the native C++ decoder (`data/_native`) for
+    JPEG camera frames and 16-bit sensor PNGs, cv2 otherwise."""
+    from hrfuser_tpu.data import native
+    if native.available():
+        try:
+            lower = path.lower()
+            if flag == 'color' and lower.endswith(('.jpg', '.jpeg')):
+                return native.decode_jpeg_bgr(path)
+            if flag == 'unchanged' and lower.endswith('.png'):
+                return native.decode_png16(path)
+        except IOError:
+            pass                        # fall through to cv2
     flags = {'color': cv2.IMREAD_COLOR, 'unchanged': cv2.IMREAD_UNCHANGED,
              'grayscale': cv2.IMREAD_GRAYSCALE}[flag]
     img = cv2.imread(path, flags)

@@ -200,6 +200,38 @@ def stf_splat(img_coords: np.ndarray, values: np.ndarray,
     return img.transpose(1, 0, 2)                        # -> [H, W, 3]
 
 
+def box3d_corners(center, size, quat_wxyz) -> np.ndarray:
+    """8 corners [3, 8] of a 3D box (w, l, h sizes; nuScenes convention:
+    x-right/size[0]=w, y-forward/size[1]=l, z-up/size[2]=h)."""
+    w, l, h = size
+    x = np.array([1, 1, 1, 1, -1, -1, -1, -1]) * (l / 2.0)
+    y = np.array([1, -1, -1, 1, 1, -1, -1, 1]) * (w / 2.0)
+    z = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * (h / 2.0)
+    corners = np.stack([x, y, z])
+    return quat_to_rot(quat_wxyz) @ corners + np.asarray(center)[:, None]
+
+
+def box3d_to_2d(corners_cam: np.ndarray, intrinsic: np.ndarray,
+                img_wh: Tuple[int, int]) -> Optional[Tuple[float, ...]]:
+    """Tight 2D box from camera-frame 3D corners
+    (`nuscenes_converter.get_2d_boxes` / `post_process_coords` semantics:
+    corners behind the camera are dropped, the convex extent is clipped to
+    the image; None if no corner is in front / box fully outside)."""
+    front = corners_cam[2] > 0.1
+    if not front.any():
+        return None
+    pts = intrinsic @ corners_cam[:, front]
+    uv = pts[:2] / pts[2:3]
+    x1, y1 = uv.min(axis=1)
+    x2, y2 = uv.max(axis=1)
+    w, h = img_wh
+    x1, x2 = np.clip([x1, x2], 0, w)
+    y1, y2 = np.clip([y1, y2], 0, h)
+    if x2 <= x1 or y2 <= y1:
+        return None
+    return float(x1), float(y1), float(x2), float(y2)
+
+
 def radar_pillar_endpoints(points_sensor: np.ndarray,
                            pillar_height: float = 3.0) -> np.ndarray:
     """Top endpoints of radar pillars in the sensor frame: same (x, y),

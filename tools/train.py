@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument('--max-iters', type=int, default=None)
     p.add_argument('--log-interval', type=int, default=50)
     p.add_argument('--ckpt-interval-epochs', type=int, default=1)
+    p.add_argument('--eval-interval-epochs', type=int, default=0,
+                   help='run val evaluation every N epochs (0 = off), '
+                        'the EvalHook equivalent')
     p.add_argument('--img-hw', type=int, nargs=2, default=None,
                    help='override input H W (synthetic mode)')
     return p.parse_args()
@@ -147,6 +150,37 @@ def main():
     start = int(np.asarray(state.step))
     it = start
     t_log = time.time()
+    log_path = os.path.join(work_dir, 'train.log.json')
+
+    def log_json(record):
+        import json
+        with open(log_path, 'a') as f:
+            f.write(json.dumps(record) + '\n')
+
+    def run_eval():
+        from hrfuser_tpu.apis.test import evaluate, run_inference
+        from hrfuser_tpu.data.loader import DetDataLoader
+        if cfg.data.dataset == 'stf':
+            from hrfuser_tpu.data.datasets.kitti2d import Kitti2DDataset
+            val_ds = Kitti2DDataset('dense_infos_val.pkl', cfg.data.classes,
+                                    data_root=args.data_root,
+                                    test_mode=True)
+        else:
+            from hrfuser_tpu.data.datasets.coco import CocoFusionDataset
+            val_ds = CocoFusionDataset('nuscenes_infos_val_mono3d.coco.json',
+                                       cfg.data.classes,
+                                       data_root=args.data_root,
+                                       test_mode=True)
+        val_loader = DetDataLoader(val_ds, cfg.data, batch_size,
+                                   train=False)
+        host = jax.device_get(state)
+        variables_now = {'params': host.params,
+                         'batch_stats': host.batch_stats}
+        results = run_inference(det, variables_now, val_loader)
+        metrics = evaluate(cfg, results, val_ds)
+        print('[eval]', ' '.join(f'{k}={v:.4f}'
+                                 for k, v in sorted(metrics.items())))
+        log_json(dict(mode='val', iter=it, **metrics))
 
     def batch_iter():
         if batches is not None:
@@ -173,11 +207,19 @@ def main():
             ips = args.log_interval * batch_size / max(dt, 1e-6)
             comp = ' '.join(f'{k}={v:.4f}' for k, v in sorted(m.items()))
             print(f'[iter {it}/{total_iters}] {ips:.1f} img/s {comp}')
+            log_json(dict(mode='train', iter=it, imgs_per_sec=round(ips, 2),
+                          **m))
+            if not np.isfinite(m['loss']):
+                raise RuntimeError(          # CheckInvalidLossHook analogue
+                    f'non-finite loss at iter {it}: {m["loss"]}')
         if it % (steps_per_epoch * args.ckpt_interval_epochs) == 0:
             save_checkpoint(work_dir, it, jax.device_get(state),
                             meta=dict(config=cfg.name,
                                       classes=list(cfg.data.classes)))
             print(f'[ckpt] saved step {it} -> {work_dir}')
+        if (args.eval_interval_epochs and loader is not None
+                and it % (steps_per_epoch * args.eval_interval_epochs) == 0):
+            run_eval()
 
     save_checkpoint(work_dir, it, jax.device_get(state),
                     meta=dict(config=cfg.name,
