@@ -27,8 +27,10 @@ def main():
                     help='small spatial size + fewer iters (CPU smoke)')
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--iters', type=int, default=20)
-    ap.add_argument('--f32', action='store_true',
-                    help='disable bf16 compute (default: bf16 on TPU)')
+    ap.add_argument('--bf16', action='store_true',
+                    help='explicit bf16 params/compute (measured slightly '
+                         'slower than f32: XLA already runs f32 matmuls '
+                         'on the MXU in bf16, and the casts add overhead)')
     args = ap.parse_args()
 
     from hrfuser_tpu.configs import get_config
@@ -41,8 +43,7 @@ def main():
         cfg = get_config('cascade_rcnn_hrfuser_t_1x_nus_r640_l_r_fusion')
         h, w, batch, iters = 384, 640, args.batch, args.iters
 
-    on_tpu = jax.devices()[0].platform != 'cpu'
-    dtype = None if (args.f32 or not on_tpu) else jnp.bfloat16
+    dtype = jnp.bfloat16 if args.bf16 else None
     det = CascadeRCNN(cfg.model, dtype=dtype)
     nmod = cfg.model.backbone.num_fused_modalities
     img = jnp.zeros((batch, h, w, 3), jnp.float32)

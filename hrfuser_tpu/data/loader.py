@@ -82,11 +82,16 @@ def build_pipeline(cfg: DataCfg, train: bool, max_gts: int = 100) -> Compose:
 
 
 class DetDataLoader:
-    """Simple deterministic batched loader over a dataset + pipeline."""
+    """Deterministic batched loader over a dataset + pipeline.
+
+    With `prefetch > 0` a background thread prepares upcoming batches so
+    CPU preprocessing overlaps the device step (the reference's
+    `workers_per_gpu` analogue).
+    """
 
     def __init__(self, dataset, cfg: DataCfg, batch_size: int,
                  train: bool, seed: int = 0, max_gts: int = 100,
-                 drop_last: Optional[bool] = None):
+                 drop_last: Optional[bool] = None, prefetch: int = 2):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
@@ -96,6 +101,7 @@ class DetDataLoader:
         self.pipeline = build_pipeline(cfg, train, max_gts)
         self.modalities = list(cfg.modalities)
         self.drop_last = train if drop_last is None else drop_last
+        self.prefetch = prefetch
 
     def __len__(self):
         n = len(self.dataset)
@@ -116,7 +122,7 @@ class DetDataLoader:
             (self.seed * 1_000_003 + self.epoch) * 1_000_003 + idx)
         return self.pipeline(results)
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _make_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         idxs = self._indices()
         bs = self.batch_size
         n_batches = len(self)
@@ -127,6 +133,32 @@ class DetDataLoader:
             while len(samples) < bs:
                 samples.append(samples[-1])
             yield self._collate(samples, real=len(chunk))
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._make_batches()
+            self.epoch += 1
+            return
+        import queue
+        import threading
+        q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for batch in self._make_batches():
+                    q.put(batch)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()
         self.epoch += 1
 
     def _collate(self, samples: List[dict], real: int

@@ -51,7 +51,9 @@ def parse_args():
     return p.parse_args()
 
 
-def synthetic_batches(cfg, batch_size, hw=None):
+def synthetic_batches(cfg, batch_size, hw=None, pool: int = 4):
+    """Cycle a small pool of pre-generated batches (generating fresh
+    random images every step would bottleneck the host)."""
     nmod = cfg.model.backbone.num_fused_modalities
     mod_ch = cfg.model.backbone.mod_in_channels
     if hw is None:
@@ -61,7 +63,8 @@ def synthetic_batches(cfg, batch_size, hw=None):
     else:
         h, w = hw
     rng = np.random.default_rng(0)
-    while True:
+    batches = []
+    for _ in range(pool):
         batch = dict(
             img=rng.normal(0, 1, (batch_size, h, w, 3)).astype(np.float32),
             gt_boxes=np.tile(np.asarray(
@@ -75,7 +78,11 @@ def synthetic_batches(cfg, batch_size, hw=None):
             batch['mod_imgs'] = [
                 rng.normal(0, 1, (batch_size, h, w, c)).astype(np.float32)
                 for c in mod_ch]
-        yield batch
+        batches.append(batch)
+    i = 0
+    while True:
+        yield dict(batches[i % pool])
+        i += 1
 
 
 def main():
