@@ -60,9 +60,17 @@ def _decay_mask(params, no_decay_keys: Tuple[str, ...]):
 def make_optimizer(optim: OptimCfg, sched: ScheduleCfg,
                    steps_per_epoch: int, params) -> optax.GradientTransformation:
     schedule = make_lr_schedule(optim, sched, steps_per_epoch)
-    return optax.adamw(schedule, b1=optim.betas[0], b2=optim.betas[1],
-                       weight_decay=optim.weight_decay,
-                       mask=_decay_mask(params, optim.no_decay_keys))
+    tx = optax.adamw(schedule, b1=optim.betas[0], b2=optim.betas[1],
+                     weight_decay=optim.weight_decay,
+                     mask=_decay_mask(params, optim.no_decay_keys))
+    # Skip updates with non-finite gradients. Known trigger: RandomDrop
+    # zeroing a modality stream for EVERY sample in the batch makes that
+    # stream exactly zero; each LayerNorm backward then amplifies
+    # cotangents by 1/sqrt(eps)=1e3 and ~12 stacked LNs overflow to
+    # inf, giving inf*0=NaN weight grads in the modality stages. The
+    # loss itself stays finite, so skipping the step is safe and the
+    # occurrence is rare at production batch sizes (p_drop^batch).
+    return optax.apply_if_finite(tx, max_consecutive_errors=25)
 
 
 def create_train_state(detector, variables, optim: OptimCfg,
