@@ -63,13 +63,10 @@ def make_optimizer(optim: OptimCfg, sched: ScheduleCfg,
     tx = optax.adamw(schedule, b1=optim.betas[0], b2=optim.betas[1],
                      weight_decay=optim.weight_decay,
                      mask=_decay_mask(params, optim.no_decay_keys))
-    # Skip updates with non-finite gradients. Known trigger: RandomDrop
-    # zeroing a modality stream for EVERY sample in the batch makes that
-    # stream exactly zero; each LayerNorm backward then amplifies
-    # cotangents by 1/sqrt(eps)=1e3 and ~12 stacked LNs overflow to
-    # inf, giving inf*0=NaN weight grads in the modality stages. The
-    # loss itself stays finite, so skipping the step is safe and the
-    # occurrence is rare at production batch sizes (p_drop^batch).
+    # Skip updates with non-finite gradients (belt-and-suspenders; the
+    # historical trigger — LayerNorm backward amplifying cotangents by
+    # rsqrt(eps) on RandomDrop-zeroed modality streams — is root-fixed
+    # by the zero-variance guard in `layers.common.LayerNorm`).
     return optax.apply_if_finite(tx, max_consecutive_errors=25)
 
 

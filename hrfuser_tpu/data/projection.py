@@ -211,22 +211,100 @@ def box3d_corners(center, size, quat_wxyz) -> np.ndarray:
     return quat_to_rot(quat_wxyz) @ corners + np.asarray(center)[:, None]
 
 
+def convex_hull_2d(pts: np.ndarray) -> np.ndarray:
+    """Convex hull of [N, 2] points (Andrew's monotone chain), CCW order."""
+    pts = np.unique(np.asarray(pts, np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort (x, then y)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def clip_polygon_to_rect(poly: np.ndarray, x_max: float, y_max: float,
+                         x_min: float = 0.0, y_min: float = 0.0
+                         ) -> np.ndarray:
+    """Sutherland–Hodgman clip of a convex polygon against an axis-aligned
+    rectangle. Returns the clipped polygon vertices ([M, 2], possibly
+    empty)."""
+    def clip_edge(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, nxt = pts[i], pts[(i + 1) % n]
+            cin, nin = inside(cur), inside(nxt)
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(intersect(cur, nxt))
+            elif nin:
+                out.append(intersect(cur, nxt))
+        return out
+
+    def x_cut(a, b, x):
+        t = (x - a[0]) / (b[0] - a[0])
+        return np.array([x, a[1] + t * (b[1] - a[1])])
+
+    def y_cut(a, b, y):
+        t = (y - a[1]) / (b[1] - a[1])
+        return np.array([a[0] + t * (b[0] - a[0]), y])
+
+    pts = [p for p in np.asarray(poly, np.float64)]
+    for inside, intersect in (
+            (lambda p: p[0] >= x_min, lambda a, b: x_cut(a, b, x_min)),
+            (lambda p: p[0] <= x_max, lambda a, b: x_cut(a, b, x_max)),
+            (lambda p: p[1] >= y_min, lambda a, b: y_cut(a, b, y_min)),
+            (lambda p: p[1] <= y_max, lambda a, b: y_cut(a, b, y_max))):
+        if not pts:
+            return np.zeros((0, 2))
+        pts = clip_edge(pts, inside, intersect)
+    return np.asarray(pts) if pts else np.zeros((0, 2))
+
+
 def box3d_to_2d(corners_cam: np.ndarray, intrinsic: np.ndarray,
                 img_wh: Tuple[int, int]) -> Optional[Tuple[float, ...]]:
-    """Tight 2D box from camera-frame 3D corners
-    (`nuscenes_converter.get_2d_boxes` / `post_process_coords` semantics:
-    corners behind the camera are dropped, the convex extent is clipped to
-    the image; None if no corner is in front / box fully outside)."""
-    front = corners_cam[2] > 0.1
+    """Tight 2D box from camera-frame 3D corners.
+
+    Exact `nuscenes_converter.get_2d_boxes`/`post_process_coords`
+    semantics: corners behind the camera (z <= 0) are dropped, the convex
+    hull of the projected corners is intersected with the image canvas
+    (shapely in the reference; monotone-chain hull + polygon clip here),
+    and the intersection's bounding box is returned. None if no corner is
+    in front or the hull misses the canvas."""
+    front = corners_cam[2] > 0
     if not front.any():
         return None
     pts = intrinsic @ corners_cam[:, front]
-    uv = pts[:2] / pts[2:3]
-    x1, y1 = uv.min(axis=1)
-    x2, y2 = uv.max(axis=1)
+    uv = (pts[:2] / pts[2:3]).T                           # [N, 2]
     w, h = img_wh
-    x1, x2 = np.clip([x1, x2], 0, w)
-    y1, y2 = np.clip([y1, y2], 0, h)
+    hull = convex_hull_2d(uv)
+    if len(hull) == 1:                                    # degenerate: point
+        clipped = hull if (0 <= hull[0, 0] <= w
+                           and 0 <= hull[0, 1] <= h) else np.zeros((0, 2))
+    elif len(hull) == 2:                                  # degenerate: segment
+        clipped = clip_polygon_to_rect(np.vstack([hull, hull[::-1]]), w, h)
+    else:
+        clipped = clip_polygon_to_rect(hull, w, h)
+    if len(clipped) == 0:
+        return None
+    x1, y1 = clipped.min(axis=0)
+    x2, y2 = clipped.max(axis=0)
     if x2 <= x1 or y2 <= y1:
         return None
     return float(x1), float(y1), float(x2), float(y2)

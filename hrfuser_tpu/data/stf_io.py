@@ -82,3 +82,32 @@ def load_calib(root: str, camera_calib: str = 'calib_cam_stereo_left.json',
     cam_frame = CAMERA_FRAMES.get(camera_calib, camera_calib)
     t = _chain_transform(tree, velodyne_frame, cam_frame)
     return k, t
+
+
+def load_split(path: str) -> list:
+    """Frame list from a SeeingThroughFog split file.
+
+    Lines are `<scene>,<frame>` (e.g. `2018-02-03_21-04-07,00100`);
+    returns the `<scene>_<frame>` stems used by the dataset's file
+    naming (`SeeingThroughFog/splits/*.txt`).
+    """
+    with open(path) as f:
+        return [line.strip().replace(',', '_')
+                for line in f if line.strip()]
+
+
+WEATHER_TEST_SPLITS = ('test_clear', 'light_fog', 'dense_fog', 'snow')
+
+
+def load_weather_splits(split_dir: str) -> Dict[str, list]:
+    """The 4 weather test splits (day+night merged) used by the STF
+    evaluation (`kitti_detection_2d_c1248_clrg_fusion.py:89-102`)."""
+    out = {}
+    for name in WEATHER_TEST_SPLITS:
+        frames: list = []
+        for tod in ('day', 'night'):
+            p = osp.join(split_dir, f'{name}_{tod}.txt')
+            if osp.exists(p):
+                frames.extend(load_split(p))
+        out[name] = frames
+    return out

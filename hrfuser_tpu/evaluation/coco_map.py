@@ -37,13 +37,61 @@ def _iou(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
     return inter / np.maximum(ad[:, None] + ag[None, :] - inter, 1e-9)
 
 
-def _match_image(dets: np.ndarray, det_scores: np.ndarray,
-                 gts: np.ndarray, gt_ignore: np.ndarray,
-                 area_rng, max_dets: int):
-    """COCOeval-style greedy matching for one image/class.
+def _last_argmax(values: np.ndarray) -> int:
+    """Index of the max, ties broken toward the LAST occurrence
+    (COCOeval's `if iou < best: continue` update rule)."""
+    return len(values) - 1 - int(values[::-1].argmax())
 
-    Returns (det_matched [T, D], det_ignore [T, D], n_gt) where D is the
-    number of kept detections (score-sorted, truncated to max_dets).
+
+def _greedy_match(ious: np.ndarray, g_ig_s: np.ndarray,
+                  d_out_of_range: np.ndarray):
+    """COCOeval greedy matching over all IoU thresholds.
+
+    Args:
+        ious: [D, G] with gts sorted non-ignored-first.
+        g_ig_s: [G] ignore flags (sorted the same way).
+        d_out_of_range: [D] det-area outside the range being evaluated.
+
+    Returns (matched [T, D], ignored [T, D]).
+    """
+    n_d, n_g = ious.shape
+    t = len(IOU_THRS)
+    matched = np.zeros((t, n_d), bool)
+    ignored = np.zeros((t, n_d), bool)
+    g_real = ~g_ig_s
+    for ti, thr in enumerate(IOU_THRS):
+        thr_eff = min(thr, 1 - 1e-10)
+        g_used = np.zeros(n_g, bool)
+        for di in range(n_d):
+            iou_d = ious[di]
+            ok = iou_d >= thr_eff
+            # real (non-ignored, unmatched) gts take priority; ignored
+            # gts absorb leftovers and can match repeatedly
+            real_ok = ok & g_real & ~g_used
+            if real_ok.any():
+                best = _last_argmax(np.where(real_ok, iou_d, -1.0))
+            else:
+                ig_ok = ok & g_ig_s
+                if not ig_ok.any():
+                    continue
+                best = _last_argmax(np.where(ig_ok, iou_d, -1.0))
+            g_used[best] = True
+            matched[ti, di] = True
+            ignored[ti, di] = g_ig_s[best]
+        # unmatched dets outside the area range are ignored, not FP
+        ignored[ti] |= (~matched[ti]) & d_out_of_range
+    return matched, ignored
+
+
+def _match_image_all_areas(dets: np.ndarray, det_scores: np.ndarray,
+                           gts: np.ndarray, gt_ignore: np.ndarray,
+                           max_dets: int):
+    """COCOeval-style greedy matching for one image/class, all area
+    ranges at once (IoUs computed a single time).
+
+    Returns ({area: (matched [T, D], ignored [T, D], n_gt)}, scores [D])
+    where D is the number of kept detections (score-sorted, truncated to
+    max_dets).
     """
     order = np.argsort(-det_scores, kind='stable')[:max_dets]
     dets = dets[order]
@@ -51,44 +99,21 @@ def _match_image(dets: np.ndarray, det_scores: np.ndarray,
 
     g_area = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1]) \
         if n_g else np.zeros(0)
-    g_ig = gt_ignore | (g_area < area_rng[0]) | (g_area > area_rng[1])
-    # sort gts: non-ignored first (COCOeval matches them preferentially)
-    g_order = np.argsort(g_ig, kind='stable')
-    gts_s = gts[g_order]
-    g_ig_s = g_ig[g_order]
-
-    ious = _iou(dets, gts_s)
-    t = len(IOU_THRS)
-    matched = np.zeros((t, n_d), bool)
-    ignored = np.zeros((t, n_d), bool)
-
     d_area = (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1]) \
         if n_d else np.zeros(0)
-    d_out_of_range = (d_area < area_rng[0]) | (d_area > area_rng[1])
+    ious_full = _iou(dets, gts)
 
-    for ti, thr in enumerate(IOU_THRS):
-        g_used = np.zeros(n_g, bool)
-        for di in range(n_d):
-            best, best_iou = -1, min(thr, 1 - 1e-10)
-            for gi in range(n_g):
-                if g_used[gi] and not g_ig_s[gi]:
-                    continue
-                # stop moving to ignored gts once matched to a real one
-                if best > -1 and not g_ig_s[best] and g_ig_s[gi]:
-                    break
-                if ious[di, gi] < best_iou:
-                    continue
-                best_iou = ious[di, gi]
-                best = gi
-            if best >= 0:
-                g_used[best] = True
-                matched[ti, di] = True
-                ignored[ti, di] = g_ig_s[best]
-        # unmatched dets outside the area range are ignored, not FP
-        ignored[ti] |= (~matched[ti]) & d_out_of_range
-
-    n_real_gt = int((~g_ig).sum())
-    return matched, ignored, n_real_gt, det_scores[order]
+    out = {}
+    for aname, arng in AREA_RANGES.items():
+        g_ig = gt_ignore | (g_area < arng[0]) | (g_area > arng[1])
+        # sort gts: non-ignored first (COCOeval matches them first)
+        g_order = np.argsort(g_ig, kind='stable')
+        g_ig_s = g_ig[g_order]
+        d_out = (d_area < arng[0]) | (d_area > arng[1])
+        matched, ignored = _greedy_match(ious_full[:, g_order], g_ig_s,
+                                         d_out)
+        out[aname] = (matched, ignored, int((~g_ig).sum()))
+    return out, det_scores[order]
 
 
 def evaluate_coco_map(predictions: Sequence[dict], groundtruths: Sequence[dict],
@@ -111,31 +136,35 @@ def evaluate_coco_map(predictions: Sequence[dict], groundtruths: Sequence[dict],
     # precision[t, r, class, area]
     precision = -np.ones((t, r, num_classes, n_areas))
 
+    area_names = list(AREA_RANGES)
     for ci in range(num_classes):
-        for ai, (aname, arng) in enumerate(AREA_RANGES.items()):
-            scores_all, matched_all, ignored_all = [], [], []
-            n_gt_total = 0
-            for pred, gt in zip(predictions, groundtruths):
-                p_sel = pred['labels'] == ci
-                g_sel = gt['labels'] == ci
-                g_ignore = np.asarray(
-                    gt.get('ignore', np.zeros(len(gt['labels']), bool))
-                )[g_sel]
-                m, ig, n_gt, sc = _match_image(
-                    np.asarray(pred['boxes'])[p_sel],
-                    np.asarray(pred['scores'])[p_sel],
-                    np.asarray(gt['boxes'])[g_sel], g_ignore, arng,
-                    max_dets)
-                matched_all.append(m)
-                ignored_all.append(ig)
-                scores_all.append(sc)
-                n_gt_total += n_gt
+        acc = {a: {'m': [], 'ig': [], 'n_gt': 0} for a in area_names}
+        scores_all = []
+        for pred, gt in zip(predictions, groundtruths):
+            p_sel = pred['labels'] == ci
+            g_sel = gt['labels'] == ci
+            g_ignore = np.asarray(
+                gt.get('ignore', np.zeros(len(gt['labels']), bool))
+            )[g_sel]
+            per_area, sc = _match_image_all_areas(
+                np.asarray(pred['boxes'])[p_sel],
+                np.asarray(pred['scores'])[p_sel],
+                np.asarray(gt['boxes'])[g_sel], g_ignore, max_dets)
+            scores_all.append(sc)
+            for a in area_names:
+                m, ig, n_gt = per_area[a]
+                acc[a]['m'].append(m)
+                acc[a]['ig'].append(ig)
+                acc[a]['n_gt'] += n_gt
+
+        scores = np.concatenate(scores_all)
+        order = np.argsort(-scores, kind='stable')
+        for ai, a in enumerate(area_names):
+            n_gt_total = acc[a]['n_gt']
             if n_gt_total == 0:
                 continue
-            scores = np.concatenate(scores_all)
-            order = np.argsort(-scores, kind='stable')
-            matched = np.concatenate(matched_all, axis=1)[:, order]
-            ignored = np.concatenate(ignored_all, axis=1)[:, order]
+            matched = np.concatenate(acc[a]['m'], axis=1)[:, order]
+            ignored = np.concatenate(acc[a]['ig'], axis=1)[:, order]
 
             for ti in range(t):
                 keep = ~ignored[ti]
@@ -144,8 +173,8 @@ def evaluate_coco_map(predictions: Sequence[dict], groundtruths: Sequence[dict],
                 rec = tp / n_gt_total
                 prec = tp / np.maximum(tp + fp, 1e-9)
                 # monotone precision envelope
-                for i in range(len(prec) - 1, 0, -1):
-                    prec[i - 1] = max(prec[i - 1], prec[i])
+                if len(prec):
+                    prec = np.maximum.accumulate(prec[::-1])[::-1]
                 inds = np.searchsorted(rec, RECALL_THRS, side='left')
                 q = np.zeros(r)
                 valid = inds < len(prec)

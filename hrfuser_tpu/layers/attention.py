@@ -23,7 +23,8 @@ from typing import Any, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hrfuser_tpu.layers.common import BatchNorm, DropPath, torch_pad
+from hrfuser_tpu.layers.common import (BatchNorm, DropPath, LayerNorm,
+                                       torch_pad)
 from hrfuser_tpu.ops.window import (relative_position_index, window_partition,
                                     window_reverse)
 
@@ -170,12 +171,12 @@ class HRFormerBlock(nn.Module):
     def __call__(self, x: Array, train: bool) -> Array:
         c = x.shape[-1]
         det = not train
-        h = nn.LayerNorm(epsilon=1e-6, name='norm1')(x)
+        h = LayerNorm(epsilon=1e-6, name='norm1')(x)
         h = LocalWindowSelfAttention(self.num_heads, self.window_size,
                                      proj_drop=self.proj_drop,
                                      dtype=self.dtype, name='attn')(h, det)
         x = x + DropPath(self.drop_path, name='drop_path1')(h, det)
-        h = nn.LayerNorm(epsilon=1e-6, name='norm2')(x)
+        h = LayerNorm(epsilon=1e-6, name='norm2')(x)
         h = CrossFFN(int(c * self.mlp_ratio), c, dtype=self.dtype,
                      name='ffn')(h, train)
         x = x + DropPath(self.drop_path, name='drop_path2')(h, det)
@@ -210,13 +211,13 @@ class HRFuserFusionBlock(nn.Module):
         x_tmp = x
         for k in range(self.num_modalities):
             z = mods[k]
-            q = nn.LayerNorm(epsilon=1e-6, name=f'norm1_{k}')(x_tmp)
-            kv = nn.LayerNorm(epsilon=1e-6, name=f'norm2_{k}')(z)
+            q = LayerNorm(epsilon=1e-6, name=f'norm1_{k}')(x_tmp)
+            kv = LayerNorm(epsilon=1e-6, name=f'norm2_{k}')(z)
             a = MultiWindowCrossAttention(
                 self.num_heads, self.window_size, proj_drop=self.proj_drop,
                 dtype=self.dtype, name=f'attn_{k}')(q, kv, det)
             x = x + z + DropPath(self.drop_path, name=f'drop_path_{k}')(a, det)
-        h = nn.LayerNorm(epsilon=1e-6, name='norm3')(x)
+        h = LayerNorm(epsilon=1e-6, name='norm3')(x)
         h = CrossFFN(int(c * self.mlp_ratio), c, dtype=self.dtype,
                      name='ffn')(h, train)
         x = x + DropPath(self.drop_path, name='drop_path_ffn')(h, det)

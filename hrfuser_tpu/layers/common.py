@@ -68,6 +68,37 @@ class ConvNorm(nn.Module):
         return x
 
 
+class LayerNorm(nn.Module):
+    """LayerNorm with a zero-variance gradient guard.
+
+    Forward-identical to `nn.LayerNorm` (torch `nn.LayerNorm`): when the
+    per-row variance is exactly zero the centred input is zero, so the
+    output is `bias` either way. The difference is the *backward* pass:
+    plain LN multiplies cotangents by `rsqrt(eps)` (~1e3 at eps 1e-6) on
+    zero-variance rows. `RandomDrop` (modality dropout,
+    `mmdet/datasets/pipelines/transforms.py:486-514`) feeds exactly-zero
+    modality streams through stacks of LNs, and those amplifications
+    compound into overflow -> NaN weight gradients — a hazard present in
+    the reference's math too (see ROUND1.md). Here zero-variance rows get
+    an exactly-zero gradient instead.
+    """
+    epsilon: float = 1e-6
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        centered = xf - mean
+        var = (centered * centered).mean(axis=-1, keepdims=True)
+        inv = jnp.where(var > 0.0, jax.lax.rsqrt(var + self.epsilon), 0.0)
+        y = centered * inv * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (reference: mmcv DropPath)."""
     rate: float = 0.0

@@ -113,6 +113,12 @@ class CascadeRCNN(nn.Module):
         return self.roi_head.simple_test(feats, proposals, proposal_valid,
                                          img_shape, scale_factor, rescale)
 
+    def roi_decode(self, feats: Sequence[Array], proposals: Array,
+                   proposal_valid: Array, img_shape):
+        """Single-image cascade decode without NMS (aug_test merging)."""
+        return self.roi_head.decode_cascade(feats, proposals,
+                                            proposal_valid, img_shape)
+
     def __call__(self, img: Array, mod_imgs: Optional[List[Array]] = None,
                  train: bool = False):
         """Init-friendly forward touching every submodule."""

@@ -41,7 +41,10 @@ class RoIHeadCfg:
     stage_stds: Tuple[Tuple[float, ...], ...] = STAGE_STDS
     fc_out_channels: int = 1024
     roi_size: int = 7
+    # per-bin sampling grid: >0 = static fast path; 0 = exact adaptive
+    # `sampling_ratio=0` semantics (ceil(bin) points, capped at max_grid)
     sample_num: int = 2
+    max_grid: int = 4
     finest_scale: int = 56
     featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
     # test cfg (`:289-292`)
@@ -73,7 +76,7 @@ class CascadeRoIHead(nn.Module):
         return multilevel_roi_align(
             list(feats), rois, list(self.cfg.featmap_strides),
             out_size=self.cfg.roi_size, sample_num=self.cfg.sample_num,
-            finest_scale=self.cfg.finest_scale)
+            finest_scale=self.cfg.finest_scale, max_grid=self.cfg.max_grid)
 
     def forward_stage(self, stage: int, feats: Sequence[Array],
                       rois: Array) -> Tuple[Array, Array]:
@@ -100,6 +103,26 @@ class CascadeRoIHead(nn.Module):
             scale_factor: [4] (sx, sy, sx, sy) for rescale to orig image.
         """
         cfg = self.cfg
+        boxes, scores = self.decode_cascade(feats, proposals,
+                                            proposal_valid, img_shape)
+        if rescale:
+            boxes = boxes / jnp.asarray(scale_factor, boxes.dtype)
+
+        out_boxes, out_scores, out_labels, out_valid = multiclass_nms(
+            boxes, scores, cfg.score_thr, cfg.nms_iou, cfg.max_per_img)
+        return Detections(out_boxes, out_scores, out_labels, out_valid)
+
+    def decode_cascade(self, feats: Sequence[Array], proposals: Array,
+                       proposal_valid: Array, img_shape
+                       ) -> Tuple[Array, Array]:
+        """Cascade refine + decode without NMS/rescale.
+
+        Returns ([R, 4] boxes in the input frame, [R, C+1] softmax scores
+        averaged over stages, zeroed on invalid proposals) — the per-aug
+        quantity that `aug_test`/`merge_aug_bboxes` average in the
+        reference (`cascade_roi_head.py:342-378`).
+        """
+        cfg = self.cfg
         rois = proposals
         ms_logits = []
         deltas = None
@@ -117,12 +140,6 @@ class CascadeRoIHead(nn.Module):
         scores = jax.nn.softmax(avg_logits, axis=-1)
         boxes = delta2bbox(rois, deltas, stds=cfg.stage_stds[-1],
                            max_shape=img_shape)
-        if rescale:
-            boxes = boxes / jnp.asarray(scale_factor, boxes.dtype)
-
         # invalid proposals must not produce detections
         scores = jnp.where(proposal_valid[:, None], scores, 0.0)
-
-        out_boxes, out_scores, out_labels, out_valid = multiclass_nms(
-            boxes, scores, cfg.score_thr, cfg.nms_iou, cfg.max_per_img)
-        return Detections(out_boxes, out_scores, out_labels, out_valid)
+        return boxes, scores

@@ -6,11 +6,16 @@ sampling_ratio=0, aligned=True)` as used by the reference RoI extractor
 
 Design notes (vs the CUDA kernel):
   * `sampling_ratio=0` in the reference means an adaptive per-RoI sampling
-    grid `ceil(roi_size / out_size)`. That is a data-dependent shape; here
-    the grid is a static `sample_num` (default 2). Because the FPN level
-    router (`floor(log2(sqrt(wh)/56))`) keeps RoI size near 56 px at its
-    level's stride, the adaptive grid is almost always 2 — the fixed grid
-    matches the reference within interpolation noise.
+    grid `ceil(roi_size / out_size)` — a data-dependent shape. Two modes:
+      - `sample_num > 0`: static grid (fast path, default 2). Because the
+        FPN level router (`floor(log2(sqrt(wh)/56))`) keeps RoI size near
+        56 px at its level's stride, the adaptive grid is almost always 2
+        and the fixed grid matches within interpolation noise.
+      - `sample_num = 0`: exact `sampling_ratio=0` semantics under static
+        shapes — coordinates for a `max_grid`-wide grid are always
+        computed, but per-RoI weights zero out samples beyond the RoI's
+        own `ceil(bin)` count (clamped to `max_grid`; level routing bounds
+        the true count by 4 except for boxes clamped at the pyramid ends).
   * Instead of running the align once per FPN level and masking
     (`4x` gather traffic), all levels are flattened to one [sum(H*W), C]
     buffer; each RoI's sample indices are computed against its own level's
@@ -84,16 +89,30 @@ def _gather_bilinear(flat_feat: Array, row_offset: Array, w_stride: Array,
     return val * inside[..., None]                      # [N, pts, pts, C]
 
 
+def _bin_reduce(val: Array, wy: Array, wx: Array, out_size: int,
+                grid: int) -> Array:
+    """Weighted average of per-bin samples.
+
+    val: [N, out*grid, out*grid, C]; wy/wx: [N, grid] per-axis sample
+    weights (each sums to 1 over the RoI's active grid points).
+    """
+    n, _, _, c = val.shape
+    val = val.reshape(n, out_size, grid, out_size, grid, c)
+    return jnp.einsum('nagbhc,ng,nh->nabc', val, wy, wx)
+
+
 @functools.partial(jax.jit, static_argnames=('out_size', 'sample_num',
-                                             'aligned', 'spatial_scale'))
+                                             'aligned', 'spatial_scale',
+                                             'max_grid'))
 def roi_align(feat: Array, rois: Array, spatial_scale: float,
               out_size: int = 7, sample_num: int = 2,
-              aligned: bool = True) -> Array:
+              aligned: bool = True, max_grid: int = 4) -> Array:
     """Single-level RoIAlign.
 
     Args:
         feat: [H, W, C] (NHWC, single image).
         rois: [N, 4] boxes in image coordinates.
+        sample_num: static per-bin grid; 0 = adaptive (sampling_ratio=0).
 
     Returns:
         [N, out_size, out_size, C] pooled features (mean over samples).
@@ -101,16 +120,15 @@ def roi_align(feat: Array, rois: Array, spatial_scale: float,
     h, w, c = feat.shape
     n = rois.shape[0]
     scale = jnp.full((n,), spatial_scale, rois.dtype)
-    xs, ys = _sample_coords_per_roi(rois, scale, out_size, sample_num,
-                                    aligned)
+    xs, ys, wx, wy = _sample_coords_per_roi(rois, scale, out_size,
+                                            sample_num, aligned, max_grid)
     flat = feat.reshape(h * w, c)
     zeros = jnp.zeros((n,), jnp.int32)
     val = _gather_bilinear(flat, zeros, jnp.full((n,), w, jnp.int32), xs, ys,
                            jnp.full((n,), h, jnp.int32),
                            jnp.full((n,), w, jnp.int32))
-    # average samples within each bin
-    val = val.reshape(n, out_size, sample_num, out_size, sample_num, c)
-    return val.mean(axis=(2, 4))
+    grid = sample_num if sample_num > 0 else max_grid
+    return _bin_reduce(val, wy, wx, out_size, grid)
 
 
 def map_roi_levels(rois: Array, num_levels: int,
@@ -124,7 +142,7 @@ def map_roi_levels(rois: Array, num_levels: int,
 def multilevel_roi_align(feats: Sequence[Array], rois: Array,
                          strides: Sequence[int], out_size: int = 7,
                          sample_num: int = 2, finest_scale: int = 56,
-                         aligned: bool = True) -> Array:
+                         aligned: bool = True, max_grid: int = 4) -> Array:
     """RoIAlign over an FPN pyramid with offset-based level routing.
 
     Args:
@@ -148,18 +166,25 @@ def multilevel_roi_align(feats: Sequence[Array], rois: Array,
 
     lvl = map_roi_levels(rois, num_levels, finest_scale)
     scale = inv_strides[lvl]                             # [N]
-    xs, ys = _sample_coords_per_roi(rois, scale, out_size, sample_num,
-                                    aligned)
+    xs, ys, wx, wy = _sample_coords_per_roi(rois, scale, out_size,
+                                            sample_num, aligned, max_grid)
     val = _gather_bilinear(flat, offsets[lvl], widths[lvl], xs, ys,
                            heights[lvl], widths[lvl])
-    n = rois.shape[0]
-    val = val.reshape(n, out_size, sample_num, out_size, sample_num, c)
-    return val.mean(axis=(2, 4))
+    grid = sample_num if sample_num > 0 else max_grid
+    return _bin_reduce(val, wy, wx, out_size, grid)
 
 
 def _sample_coords_per_roi(rois: Array, scale: Array, out_size: int,
-                           sample_num: int, aligned: bool):
-    """Like `_sample_coords` but with a per-RoI spatial scale ([N])."""
+                           sample_num: int, aligned: bool,
+                           max_grid: int = 4):
+    """Per-RoI sample coordinates + per-axis sample weights.
+
+    Returns (xs, ys, wx, wy): xs/ys are [N, out_size*grid] fractional
+    coordinates; wx/wy are [N, grid] weights summing to 1 (uniform
+    1/sample_num in static mode; in adaptive mode `sampling_ratio=0`
+    semantics — `ceil(bin)` active points per axis, clamped to max_grid,
+    the rest weighted 0).
+    """
     offset = 0.5 if aligned else 0.0
     x1 = rois[:, 0] * scale - offset
     y1 = rois[:, 1] * scale - offset
@@ -172,9 +197,34 @@ def _sample_coords_per_roi(rois: Array, scale: Array, out_size: int,
         roi_h = jnp.maximum(roi_h, 1.0)
     bin_w = roi_w / out_size
     bin_h = roi_h / out_size
+    n = rois.shape[0]
     p = jnp.arange(out_size, dtype=rois.dtype)
-    s = (jnp.arange(sample_num, dtype=rois.dtype) + 0.5) / sample_num
-    frac = (p[:, None] + s[None, :]).reshape(-1)
-    xs = x1[:, None] + frac[None, :] * bin_w[:, None]
-    ys = y1[:, None] + frac[None, :] * bin_h[:, None]
-    return xs, ys
+
+    if sample_num > 0:
+        grid = sample_num
+        s = (jnp.arange(grid, dtype=rois.dtype) + 0.5) / grid
+        frac = (p[:, None] + s[None, :]).reshape(-1)
+        xs = x1[:, None] + frac[None, :] * bin_w[:, None]
+        ys = y1[:, None] + frac[None, :] * bin_h[:, None]
+        w = jnp.full((n, grid), 1.0 / grid, rois.dtype)
+        return xs, ys, w, w
+
+    # adaptive: per-RoI grid count ceil(bin), clamped to [1, max_grid]
+    # (mmcv roi_align kernel, sampling_ratio<=0 branch)
+    grid = max_grid
+
+    def axis(start, bin_size):
+        cnt = jnp.clip(jnp.ceil(bin_size), 1, grid)             # [N] float
+        g = jnp.arange(grid, dtype=rois.dtype)                  # [grid]
+        active = g[None, :] < cnt[:, None]                      # [N, grid]
+        # inactive points reuse the last active coordinate (weight 0)
+        gi = jnp.minimum(g[None, :], cnt[:, None] - 1.0)
+        s = (gi + 0.5) / cnt[:, None]                           # [N, grid]
+        frac = p[None, :, None] + s[:, None, :]                 # [N, out, grid]
+        coords = start[:, None] + frac.reshape(n, -1) * bin_size[:, None]
+        wgt = active.astype(rois.dtype) / cnt[:, None]
+        return coords, wgt
+
+    xs, wx = axis(x1, bin_w)
+    ys, wy = axis(y1, bin_h)
+    return xs, ys, wx, wy

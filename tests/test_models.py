@@ -117,3 +117,74 @@ def test_fusion_block_residual_semantics():
     # FFN contributes gelu(0) = 0; attention contributes 0 -> pure residual
     np.testing.assert_allclose(np.asarray(y),
                                np.asarray(x + mods[0] + mods[1]), atol=1e-5)
+
+
+def test_layernorm_matches_flax_and_guards_zero_variance():
+    """Guarded LN: forward == nn.LayerNorm; zero-variance rows get zero grad."""
+    from flax import linen as nn
+
+    from hrfuser_tpu.layers.common import LayerNorm
+
+    ln = LayerNorm(epsilon=1e-6)
+    ref = nn.LayerNorm(epsilon=1e-6)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 2, (4, 7, 16)),
+                    jnp.float32)
+    v = ln.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(ln.apply(v, x)),
+                               np.asarray(ref.apply(v, x)),
+                               rtol=2e-5, atol=2e-5)
+    # Zero-variance rows (RandomDrop zeroing a modality): forward is `bias`
+    # either way, but the guarded backward is exactly 0 instead of being
+    # amplified by rsqrt(eps) ~ 1e3 per LN.
+    z = jnp.zeros((2, 5, 16))
+    np.testing.assert_allclose(
+        np.asarray(ln.apply(v, z)),
+        np.broadcast_to(np.asarray(v['params']['bias']), z.shape))
+    g = jax.grad(lambda xx: (ln.apply(v, xx) ** 2).sum())(z)
+    assert (np.asarray(g) == 0).all()
+
+
+def test_fusion_block_zero_modality_grads_finite():
+    """Grads through the fusion block stay finite with a zeroed modality."""
+    blk = HRFuserFusionBlock(num_heads=1, num_modalities=1, window_size=7)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 14, 14, 8)), jnp.float32)
+    z = jnp.zeros((1, 14, 14, 8))
+    v = blk.init(jax.random.PRNGKey(0), x, [z], train=False)
+
+    def loss(params, zz):
+        out = blk.apply(dict(v, params=params), x, [zz], train=False)
+        return (out ** 2).sum()
+
+    gp, gz = jax.grad(loss, argnums=(0, 1))(v['params'], z)
+    leaves = jax.tree_util.tree_leaves(gp) + [gz]
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
+
+
+def test_aug_test_flip_mirror_consistency(tiny_fusion):
+    """predict_aug_test_flip(img) and (flip(img)) see the same two augs in
+    swapped roles -> identical score multisets and mirrored boxes."""
+    from hrfuser_tpu.models import predict_aug_test_flip
+
+    cfg, det, variables = tiny_fusion
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.normal(0, 1, (1, 64, 96, 3)), jnp.float32)
+    mods = [jnp.asarray(rng.normal(0, 1, (1, 64, 96, 3)), jnp.float32)
+            for _ in range(2)]
+
+    fn = jax.jit(functools.partial(predict_aug_test_flip, det))
+    d1 = fn(variables, img, mods)
+    d2 = fn(variables, img[:, :, ::-1, :], [m[:, :, ::-1, :] for m in mods])
+
+    assert d1.boxes.shape == (1, 20, 4)
+    b1, s1, v1 = (np.asarray(d1.boxes), np.asarray(d1.scores),
+                  np.asarray(d1.valid))
+    b2, s2, v2 = (np.asarray(d2.boxes), np.asarray(d2.scores),
+                  np.asarray(d2.valid))
+    assert np.isfinite(b1).all() and np.isfinite(b2).all()
+    assert v1.sum() == v2.sum()
+    np.testing.assert_allclose(np.sort(s1[v1]), np.sort(s2[v2]), atol=1e-4)
+    # mirrored x-extents: multiset of (orig_w - x2, orig_w - x1) matches
+    m2 = np.stack([96.0 - b2[v2][:, 2], 96.0 - b2[v2][:, 0]], -1)
+    a1 = np.sort(np.stack([b1[v1][:, 0], b1[v1][:, 2]], -1), axis=0)
+    np.testing.assert_allclose(a1, np.sort(m2, axis=0), atol=1e-3)

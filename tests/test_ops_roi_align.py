@@ -93,3 +93,77 @@ def test_multilevel_matches_single_level():
                                       jnp.asarray(rois[i:i + 1]),
                                       spatial_scale=1.0 / strides[lvl]))
         np.testing.assert_allclose(got[i], single[0], atol=1e-4)
+
+
+def _np_roi_align_adaptive(feat, rois, scale, out, aligned=True):
+    """mmcv sampling_ratio=0 semantics: grid = ceil(bin) per axis."""
+    h, w, c = feat.shape
+    n = len(rois)
+    res = np.zeros((n, out, out, c), np.float32)
+    off = 0.5 if aligned else 0.0
+    for i, (x1, y1, x2, y2) in enumerate(rois):
+        sx1, sy1 = x1 * scale - off, y1 * scale - off
+        rw, rh = (x2 - x1) * scale, (y2 - y1) * scale
+        if not aligned:
+            rw, rh = max(rw, 1.0), max(rh, 1.0)
+        bw, bh = rw / out, rh / out
+        gx = max(int(np.ceil(bw)), 1)
+        gy = max(int(np.ceil(bh)), 1)
+        for py in range(out):
+            for px in range(out):
+                acc = np.zeros(c, np.float32)
+                for iy in range(gy):
+                    for ix in range(gx):
+                        y = sy1 + py * bh + (iy + 0.5) * bh / gy
+                        x = sx1 + px * bw + (ix + 0.5) * bw / gx
+                        if y < -1.0 or y > h or x < -1.0 or x > w:
+                            continue
+                        y = min(max(y, 0.0), h - 1)
+                        x = min(max(x, 0.0), w - 1)
+                        y0, x0 = int(np.floor(y)), int(np.floor(x))
+                        y1_, x1_ = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                        wy1, wx1 = y - y0, x - x0
+                        wy0, wx0 = 1 - wy1, 1 - wx1
+                        acc += (feat[y0, x0] * wy0 * wx0
+                                + feat[y0, x1_] * wy0 * wx1
+                                + feat[y1_, x0] * wy1 * wx0
+                                + feat[y1_, x1_] * wy1 * wx1)
+                res[i, py, px] = acc / (gy * gx)
+    return res
+
+
+def test_roi_align_adaptive_matches_naive():
+    """sample_num=0 reproduces sampling_ratio=0 exactly (grids 1..4)."""
+    rng = np.random.default_rng(1)
+    feat = rng.normal(0, 1, (24, 32, 4)).astype(np.float32)
+    # bin sizes spanning ceil() grids 1, 2, 3 and 4 at scale 0.25
+    rois = np.array([[4., 4., 20., 18.],       # bin < 1  -> grid 1
+                     [0., 0., 127., 95.],      # bin ~4.5,3.4 -> capped 4
+                     [10.3, 7.7, 70.1, 53.3],  # bin ~2.1,1.6 -> 3, 2
+                     [2., 2., 100., 60.]],     # bin 3.5, 2.07 -> 4, 3
+                    np.float32)
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                               spatial_scale=0.25, out_size=7, sample_num=0,
+                               max_grid=4))
+    ref = _np_roi_align_adaptive(feat, rois, 0.25, 7)
+    # the capped roi (grid>4) differs by construction; check the rest exact
+    np.testing.assert_allclose(got[[0, 2, 3]], ref[[0, 2, 3]], atol=1e-4)
+    # capped one still close (it averages a denser grid of the same bins)
+    np.testing.assert_allclose(got[1], ref[1], atol=0.35)
+    # with a big enough cap it is exact everywhere
+    got8 = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                                spatial_scale=0.25, out_size=7, sample_num=0,
+                                max_grid=8))
+    np.testing.assert_allclose(got8, ref, atol=1e-4)
+
+
+def test_multilevel_adaptive_runs():
+    rng = np.random.default_rng(2)
+    feats = [jnp.asarray(rng.normal(0, 1, (32 // (2 ** i), 48 // (2 ** i), 4))
+                         .astype(np.float32)) for i in range(4)]
+    rois = jnp.asarray(np.array([[4., 4., 100., 90.],
+                                 [0., 0., 30., 20.]], np.float32))
+    out = np.asarray(multilevel_roi_align(feats, rois, [4, 8, 16, 32],
+                                          sample_num=0, max_grid=4))
+    assert out.shape == (2, 7, 7, 4)
+    assert np.isfinite(out).all()

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Profiling harness: jax.profiler trace + simple timing breakdown.
+
+TPU-native replacement for the reference's ad-hoc CUDA-event timers
+(`mmdet/utils/profiling.py:11-40`) and IterTimerHook logs: captures a
+Perfetto/XPlane trace of N inference (or train) steps into
+`--trace-dir`, viewable at ui.perfetto.dev or TensorBoard's profile
+plugin, and prints wall-time percentiles.
+
+Usage:
+    python tools/profile.py cascade_rcnn_hrfuser_t_1x_nus_r640_l_r_fusion \
+        --mode infer --batch 8 --iters 20 --trace-dir /tmp/hrfuser_trace
+"""
+
+from __future__ import annotations
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('config')
+    ap.add_argument('--mode', choices=['infer', 'train'], default='infer')
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--img-hw', type=int, nargs=2, default=None)
+    ap.add_argument('--trace-dir', default='')
+    args = ap.parse_args()
+
+    from hrfuser_tpu.configs import get_config
+    from hrfuser_tpu.models import CascadeRCNN, predict
+
+    cfg = get_config(args.config)
+    if args.img_hw:
+        h, w = args.img_hw
+    else:
+        w, h = cfg.data.img_scale
+        h, w = (h + 31) // 32 * 32, (w + 31) // 32 * 32
+    det = CascadeRCNN(cfg.model)
+    nmod = cfg.model.backbone.num_fused_modalities
+    img = jnp.zeros((args.batch, h, w, 3), jnp.float32)
+    mods = [jnp.zeros((args.batch, h, w, c), jnp.float32)
+            for c in (cfg.model.backbone.mod_in_channels or [])][:nmod]
+    mods = mods if nmod else None
+
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(functools.partial(det.init, train=False))(
+        rng, img, mods)
+
+    if args.mode == 'infer':
+        step = jax.jit(functools.partial(predict, det))
+
+        def run():
+            return step(variables, img, mods)
+    else:
+        from hrfuser_tpu.apis.train import (create_train_state,
+                                            make_train_step)
+        state, tx = create_train_state(det, variables, cfg.optim,
+                                       cfg.schedule, steps_per_epoch=100)
+        train_step = jax.jit(make_train_step(det, tx), donate_argnums=0)
+        npr = np.random.default_rng(0)
+        batch = dict(
+            img=jnp.asarray(npr.normal(0, 1, (args.batch, h, w, 3)),
+                            jnp.float32),
+            gt_boxes=jnp.tile(jnp.asarray(
+                [[[10., 10., 100., 80.], [50., 30., 200., 160.]]],
+                jnp.float32), (args.batch, 1, 1)),
+            gt_labels=jnp.tile(jnp.asarray([[0, 1]], jnp.int32),
+                               (args.batch, 1)),
+            gt_valid=jnp.ones((args.batch, 2), bool),
+        )
+        if mods is not None:
+            batch['mod_imgs'] = [
+                jnp.asarray(npr.normal(0, 1, (args.batch, h, w, c)),
+                            jnp.float32)
+                for c in cfg.model.backbone.mod_in_channels]
+
+        def run():
+            nonlocal state
+            state, metrics = train_step(state, batch, rng)
+            return metrics
+
+    jax.block_until_ready(run())                 # compile
+    times = []
+    if args.trace_dir:
+        jax.profiler.start_trace(args.trace_dir)
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = run()
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    if args.trace_dir:
+        jax.profiler.stop_trace()
+        print(f'[profile] trace written to {args.trace_dir}')
+
+    ms = np.asarray(times) * 1e3
+    print(f'[profile] {args.mode} batch={args.batch} hw={h}x{w} '
+          f'iters={args.iters}')
+    print(f'[profile] p50={np.percentile(ms, 50):.2f}ms '
+          f'p90={np.percentile(ms, 90):.2f}ms mean={ms.mean():.2f}ms '
+          f'-> {args.batch / (ms.mean() / 1e3):.1f} img/s')
+
+
+if __name__ == '__main__':
+    main()
