@@ -68,6 +68,75 @@ def depth_warp(src_img: np.ndarray, src_depth: np.ndarray,
     return out, np.isfinite(zbuf)
 
 
+def inverse_depth_warp(src_img: np.ndarray, tgt_depth: np.ndarray,
+                       k_src: np.ndarray, k_tgt: np.ndarray,
+                       t_tgt_to_src: np.ndarray,
+                       ego_offset: Optional[np.ndarray] = None
+                       ) -> np.ndarray:
+    """Inverse warp: render `src_img` onto the TARGET grid using the
+    target camera's per-pixel depth.
+
+    This is the reference's `image_transformer.transform_with_target_depth`
+    scheme (Gated2RGB): back-project every target pixel with its stereo
+    depth, optionally shift by the ego-motion offset (`:201-202`),
+    transform into the source camera, project with `k_src` and bilinearly
+    sample the source image. No holes, unlike forward splatting.
+
+    Args:
+        src_img: [H_s, W_s] or [H_s, W_s, C].
+        tgt_depth: [H_t, W_t] metric depth (<=0 treated as far plane).
+        t_tgt_to_src: 4x4 target-cam -> source-cam extrinsic.
+        ego_offset: optional [3] translation applied to the target-frame
+            points (the reference's speed/steering/delay correction).
+
+    Returns:
+        warped [H_t, W_t, C] float32 (0 where the sample falls outside).
+    """
+    ht, wt = tgt_depth.shape
+    img = src_img[..., None] if src_img.ndim == 2 else src_img
+    hs, ws, c = img.shape
+
+    z = np.where(tgt_depth > 0, tgt_depth, 250.0).astype(np.float64)
+    ys, xs = np.mgrid[0:ht, 0:wt]
+    px = np.stack([xs.ravel() * z.ravel(), ys.ravel() * z.ravel(),
+                   z.ravel()])                             # [3, N]
+    pts_tgt = np.linalg.inv(k_tgt) @ px
+    if ego_offset is not None:
+        pts_tgt = pts_tgt + np.asarray(ego_offset, np.float64)[:, None]
+    pts_h = np.vstack([pts_tgt, np.ones((1, pts_tgt.shape[1]))])
+    pts_src = (t_tgt_to_src @ pts_h)[:3]
+
+    zs = pts_src[2]
+    ok = zs > 1e-6
+    u = np.zeros(zs.shape)
+    v = np.zeros(zs.shape)
+    uvw = k_src @ pts_src[:, ok]
+    u[ok] = uvw[0] / uvw[2]
+    v[ok] = uvw[1] / uvw[2]
+
+    ok &= (u >= 0) & (u <= ws - 1) & (v >= 0) & (v <= hs - 1)
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    u0c = np.clip(u0, 0, ws - 2)
+    v0c = np.clip(v0, 0, hs - 2)
+    fu = (u - u0c)[:, None]
+    fv = (v - v0c)[:, None]
+    f = img.astype(np.float64)
+    val = ((1 - fv) * ((1 - fu) * f[v0c, u0c] + fu * f[v0c, u0c + 1])
+           + fv * ((1 - fu) * f[v0c + 1, u0c] + fu * f[v0c + 1, u0c + 1]))
+    val[~ok] = 0.0
+    return val.reshape(ht, wt, c).astype(np.float32)
+
+
+def ego_motion_offset(speed_mps: float, heading_deg: float,
+                      delay_s: float) -> np.ndarray:
+    """Target-frame point offset for ego motion during a slice delay
+    (`image_transformer.py:201-202`: z -= cos(a)*v*dt, y += sin(a)*v*dt)."""
+    a = np.deg2rad(heading_deg)
+    return np.array([0.0, np.sin(a) * speed_mps * delay_s,
+                     -np.cos(a) * speed_mps * delay_s])
+
+
 def homography_from_points(src_pts: np.ndarray, dst_pts: np.ndarray,
                            ransac_thresh: float = 10.0) -> np.ndarray:
     """RANSAC homography (the reference's hand-labeled-points fallback)."""

@@ -45,6 +45,9 @@ class RoIHeadCfg:
     # `sampling_ratio=0` semantics (ceil(bin) points, capped at max_grid)
     sample_num: int = 2
     max_grid: int = 4
+    # RoIAlign gathers (and their backward scatters) are the dominant
+    # HBM traffic of the train step; bf16 halves it. False = exact f32.
+    gather_bf16: bool = True
     finest_scale: int = 56
     featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
     # test cfg (`:289-292`)
@@ -76,7 +79,8 @@ class CascadeRoIHead(nn.Module):
         return multilevel_roi_align(
             list(feats), rois, list(self.cfg.featmap_strides),
             out_size=self.cfg.roi_size, sample_num=self.cfg.sample_num,
-            finest_scale=self.cfg.finest_scale, max_grid=self.cfg.max_grid)
+            finest_scale=self.cfg.finest_scale, max_grid=self.cfg.max_grid,
+            gather_dtype=jnp.bfloat16 if self.cfg.gather_bf16 else None)
 
     def forward_stage(self, stage: int, feats: Sequence[Array],
                       rois: Array) -> Tuple[Array, Array]:

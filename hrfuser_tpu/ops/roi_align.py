@@ -22,6 +22,13 @@ Design notes (vs the CUDA kernel):
     row offset, so a single gather serves every RoI ("level routing by
     offset" — the TPU analogue of the reference's per-level gather/scatter
     at `single_level_roi_extractor.py:58-115`).
+  * RoIAlign is HBM-bandwidth bound: profiling the r640 train step showed
+    the 4-tap gathers + their backward scatter-adds dominating the whole
+    step (~90ms of a 287ms device-op budget at batch 3). `gather_dtype=
+    bfloat16` halves that traffic by casting the flattened features
+    before the gather and keeping the bilinear lerp in bf16; the bin
+    reduction accumulates in f32. Pass `gather_dtype=None` for bit-exact
+    f32 (parity mode).
 """
 
 from __future__ import annotations
@@ -71,6 +78,10 @@ def _gather_bilinear(flat_feat: Array, row_offset: Array, w_stride: Array,
         return (row_offset[:, None, None] + y[:, :, None] * w_stride[:, None, None]
                 + x[:, None, :])                        # [N, pts, pts]
 
+    # NOTE: a "fetch both x-taps with one (2, C) sliced lax.gather" variant
+    # was tried and is catastrophically slow to compile/run with this XLA
+    # (50+ min for the train step vs ~13); plain row gathers lower to
+    # efficient dynamic-gather fusions. Keep the 4 independent taps.
     def take(y, x):
         idx = flat_idx(y, x).reshape(-1)
         return flat_feat[idx].reshape(n, pts, pts, -1)
@@ -80,13 +91,15 @@ def _gather_bilinear(flat_feat: Array, row_offset: Array, w_stride: Array,
     v10 = take(y_hi, x_lo)
     v11 = take(y_hi, x_hi)
 
-    wy_lo = wy_lo[:, :, None, None]
-    wy_hi = wy_hi[:, :, None, None]
-    wx_lo = wx_lo[:, None, :, None]
-    wx_hi = wx_hi[:, None, :, None]
+    # keep the lerp in the gather dtype (bf16 path stays bf16 end-to-end)
+    dt = flat_feat.dtype
+    wy_lo = wy_lo.astype(dt)[:, :, None, None]
+    wy_hi = wy_hi.astype(dt)[:, :, None, None]
+    wx_lo = wx_lo.astype(dt)[:, None, :, None]
+    wx_hi = wx_hi.astype(dt)[:, None, :, None]
     val = (v00 * wy_lo * wx_lo + v01 * wy_lo * wx_hi
            + v10 * wy_hi * wx_lo + v11 * wy_hi * wx_hi)
-    return val * inside[..., None]                      # [N, pts, pts, C]
+    return val * inside.astype(dt)[..., None]           # [N, pts, pts, C]
 
 
 def _bin_reduce(val: Array, wy: Array, wx: Array, out_size: int,
@@ -98,7 +111,9 @@ def _bin_reduce(val: Array, wy: Array, wx: Array, out_size: int,
     """
     n, _, _, c = val.shape
     val = val.reshape(n, out_size, grid, out_size, grid, c)
-    return jnp.einsum('nagbhc,ng,nh->nabc', val, wy, wx)
+    return jnp.einsum('nagbhc,ng,nh->nabc', val, wy.astype(val.dtype),
+                      wx.astype(val.dtype),
+                      preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=('out_size', 'sample_num',
@@ -142,7 +157,8 @@ def map_roi_levels(rois: Array, num_levels: int,
 def multilevel_roi_align(feats: Sequence[Array], rois: Array,
                          strides: Sequence[int], out_size: int = 7,
                          sample_num: int = 2, finest_scale: int = 56,
-                         aligned: bool = True, max_grid: int = 4) -> Array:
+                         aligned: bool = True, max_grid: int = 4,
+                         gather_dtype=None) -> Array:
     """RoIAlign over an FPN pyramid with offset-based level routing.
 
     Args:
@@ -156,6 +172,8 @@ def multilevel_roi_align(feats: Sequence[Array], rois: Array,
     num_levels = len(feats)
     c = feats[0].shape[-1]
     flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    if gather_dtype is not None:
+        flat = flat.astype(gather_dtype)
 
     heights = jnp.asarray([f.shape[0] for f in feats], jnp.int32)
     widths = jnp.asarray([f.shape[1] for f in feats], jnp.int32)

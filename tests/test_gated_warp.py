@@ -63,3 +63,35 @@ def test_disparity_to_depth():
     assert depth[0, 0] == 0.0
     np.testing.assert_allclose(depth[0, 1], 20.0)
     np.testing.assert_allclose(depth[1, 1], 5.0)
+
+
+def test_inverse_depth_warp_identity():
+    from hrfuser_tpu.data.gated_warp import inverse_depth_warp
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (16, 20)).astype(np.float32)
+    depth = np.full((16, 20), 5.0, np.float32)
+    k = np.array([[10., 0., 10.], [0., 10., 8.], [0., 0., 1.]])
+    out = inverse_depth_warp(img, depth, k, k, np.eye(4))
+    np.testing.assert_allclose(out[..., 0], img, atol=1e-4)
+
+
+def test_inverse_depth_warp_translation_shifts():
+    """x-translation of the source camera shifts samples by f*tx/z px."""
+    from hrfuser_tpu.data.gated_warp import inverse_depth_warp
+    img = np.zeros((16, 20), np.float32)
+    img[:, 10] = 1.0
+    depth = np.full((16, 20), 5.0, np.float32)
+    f = 10.0
+    k = np.array([[f, 0., 10.], [0., f, 8.], [0., 0., 1.]])
+    t = np.eye(4)
+    t[0, 3] = 1.0                 # source cam sees points 1m to the right
+    out = inverse_depth_warp(img, depth, k, k, t)[..., 0]
+    # u_src = u_tgt + f*tx/z = u_tgt + 2 -> column 10 of src lands at tgt 8
+    assert out[:, 8].min() > 0.99
+    assert out[:, 10].max() < 1e-6
+
+
+def test_ego_motion_offset_direction():
+    from hrfuser_tpu.data.gated_warp import ego_motion_offset
+    off = ego_motion_offset(10.0, 0.0, 0.1)     # 10 m/s straight, 100 ms
+    np.testing.assert_allclose(off, [0.0, 0.0, -1.0], atol=1e-9)

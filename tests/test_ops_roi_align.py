@@ -167,3 +167,18 @@ def test_multilevel_adaptive_runs():
                                           sample_num=0, max_grid=4))
     assert out.shape == (2, 7, 7, 4)
     assert np.isfinite(out).all()
+
+
+def test_multilevel_bf16_gather_close_to_f32():
+    """bf16 gather path (train-speed default) tracks f32 within bf16 eps."""
+    rng = np.random.default_rng(3)
+    feats = [jnp.asarray(rng.normal(0, 1, (32 // (2 ** i), 48 // (2 ** i), 8))
+                         .astype(np.float32)) for i in range(4)]
+    rois = jnp.asarray(np.array([[4., 4., 100., 90.],
+                                 [0., 0., 30., 20.],
+                                 [10., 5., 120., 120.]], np.float32))
+    f32 = np.asarray(multilevel_roi_align(feats, rois, [4, 8, 16, 32]))
+    bf16 = np.asarray(multilevel_roi_align(feats, rois, [4, 8, 16, 32],
+                                           gather_dtype=jnp.bfloat16))
+    assert bf16.dtype == np.float32          # accumulated in f32
+    np.testing.assert_allclose(bf16, f32, atol=0.05, rtol=0.05)
