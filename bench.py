@@ -25,13 +25,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--quick', action='store_true',
                     help='small spatial size + fewer iters (CPU smoke)')
-    ap.add_argument('--batch', type=int, default=8)
+    # batch 24 saturates the chip: per-step wall time has a ~25-30 ms
+    # dispatch-latency floor (tunneled TPU), so throughput scales almost
+    # linearly with batch until HBM runs out (32 OOMs at r640)
+    ap.add_argument('--batch', type=int, default=24)
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--bf16', action='store_true',
                     help='explicit bf16 params/compute (measured slightly '
                          'slower than f32: XLA already runs f32 matmuls '
                          'on the MXU in bf16, and the casts add overhead)')
+    ap.add_argument('--pool', choices=['onehot', 'gather'], default=None,
+                    help='override RoIAlign formulation (default: config)')
     args = ap.parse_args()
+
+    import dataclasses
 
     from hrfuser_tpu.configs import get_config
     from hrfuser_tpu.models import CascadeRCNN, predict
@@ -43,8 +50,13 @@ def main():
         cfg = get_config('cascade_rcnn_hrfuser_t_1x_nus_r640_l_r_fusion')
         h, w, batch, iters = 384, 640, args.batch, args.iters
 
+    model_cfg = cfg.model
+    if args.pool:
+        model_cfg = dataclasses.replace(
+            model_cfg, roi=dataclasses.replace(model_cfg.roi,
+                                               pool_method=args.pool))
     dtype = jnp.bfloat16 if args.bf16 else None
-    det = CascadeRCNN(cfg.model, dtype=dtype)
+    det = CascadeRCNN(model_cfg, dtype=dtype)
     nmod = cfg.model.backbone.num_fused_modalities
     img = jnp.zeros((batch, h, w, 3), jnp.float32)
     mods = [jnp.zeros((batch, h, w, c), jnp.float32)

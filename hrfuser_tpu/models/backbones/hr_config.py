@@ -66,6 +66,9 @@ class HRBackboneCfg:
     num_fused_modalities: int = 0
     mod_in_channels: Tuple[int, ...] = ()
     drop_path_rate: float = 0.0
+    # rematerialize each HRModule / fusion block in backward (activation
+    # memory ~halves; enables larger per-chip train batches)
+    remat: bool = False
 
     @property
     def pre_neck_fusion(self) -> bool:

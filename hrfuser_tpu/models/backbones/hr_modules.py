@@ -208,15 +208,20 @@ class HRStage(nn.Module):
     stage: StageCfg
     in_channels: tuple
     multiscale_output: bool = True
+    remat: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, xs: List[Array], train: bool) -> List[Array]:
         s = self.stage
         chans = self.in_channels
+        # remat: recompute each module's activations in backward
+        # (jax.checkpoint; arg 0 is the module, so `train` is index 2)
+        mod_cls = (nn.remat(HRModule, static_argnums=(2,)) if self.remat
+                   else HRModule)
         for m in range(s.num_modules):
             ms_out = self.multiscale_output or m < s.num_modules - 1
-            xs = HRModule(s, chans, ms_out, module_index=m, dtype=self.dtype,
-                          name=f'module{m}')(xs, train)
+            xs = mod_cls(s, chans, ms_out, module_index=m, dtype=self.dtype,
+                         name=f'module{m}')(xs, train)
             chans = s.out_channels
         return xs

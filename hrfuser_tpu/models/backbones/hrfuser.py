@@ -39,15 +39,18 @@ class FusionBank(nn.Module):
     """One `HRFuserFusionBlock` per camera branch (`_make_multimodal_fusion`)."""
     fusion: FusionCfg
     num_modalities: int
+    remat: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, xs: List[Array], mods: List[List[Array]],
                  train: bool) -> List[Array]:
         f = self.fusion
+        blk_cls = (nn.remat(HRFuserFusionBlock, static_argnums=(3,))
+                   if self.remat else HRFuserFusionBlock)
         out = []
         for i in range(f.num_branches):
-            out.append(HRFuserFusionBlock(
+            out.append(blk_cls(
                 num_heads=f.num_heads[i],
                 num_modalities=self.num_modalities,
                 window_size=f.window_sizes[i],
@@ -63,6 +66,7 @@ class ModalityStage(nn.Module):
     """Single-branch stage run independently per modality (`_make_mod_stage`)."""
     stage: StageCfg
     num_modalities: int
+    remat: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -70,6 +74,7 @@ class ModalityStage(nn.Module):
         out = []
         for k in range(self.num_modalities):
             y = HRStage(self.stage, self.stage.out_channels,
+                        remat=self.remat,
                         dtype=self.dtype, name=f'mod{k}')([feats[k]], train)
             out.append(y[0])
         return out
@@ -131,11 +136,12 @@ class HRFuserBackbone(nn.Module):
         m_br = ModalityTransition(stage_a_out, cfg.fusion_a.num_channels, nm,
                                   dtype=self.dtype,
                                   name='transition_a')(mods, train)
-        xs = FusionBank(cfg.fusion_a, nm, dtype=self.dtype,
+        xs = FusionBank(cfg.fusion_a, nm, remat=cfg.remat, dtype=self.dtype,
                         name='fusion_a')(xs, m_br, train)
-        ys = HRStage(cfg.stage2, cfg.stage2.out_channels, dtype=self.dtype,
+        ys = HRStage(cfg.stage2, cfg.stage2.out_channels, remat=cfg.remat,
+                     dtype=self.dtype,
                      name='stage2')(xs, train)
-        mods = ModalityStage(cfg.stage_b, nm, dtype=self.dtype,
+        mods = ModalityStage(cfg.stage_b, nm, remat=cfg.remat, dtype=self.dtype,
                              name='stage_b')(m_br[0], train)
 
         # ---- stage 3 (+ fusion B, modality stage C) ----
@@ -145,11 +151,12 @@ class HRFuserBackbone(nn.Module):
                                   cfg.fusion_b.num_channels, nm,
                                   dtype=self.dtype,
                                   name='transition_b')(mods, train)
-        xs = FusionBank(cfg.fusion_b, nm, dtype=self.dtype,
+        xs = FusionBank(cfg.fusion_b, nm, remat=cfg.remat, dtype=self.dtype,
                         name='fusion_b')(xs, m_br, train)
-        ys = HRStage(cfg.stage3, cfg.stage3.out_channels, dtype=self.dtype,
+        ys = HRStage(cfg.stage3, cfg.stage3.out_channels, remat=cfg.remat,
+                     dtype=self.dtype,
                      name='stage3')(xs, train)
-        mods = ModalityStage(cfg.stage_c, nm, dtype=self.dtype,
+        mods = ModalityStage(cfg.stage_c, nm, remat=cfg.remat, dtype=self.dtype,
                              name='stage_c')(m_br[0], train)
 
         # ---- stage 4 (+ fusion C) ----
@@ -159,20 +166,21 @@ class HRFuserBackbone(nn.Module):
                                   cfg.fusion_c.num_channels, nm,
                                   dtype=self.dtype,
                                   name='transition_c')(mods, train)
-        xs = FusionBank(cfg.fusion_c, nm, dtype=self.dtype,
+        xs = FusionBank(cfg.fusion_c, nm, remat=cfg.remat, dtype=self.dtype,
                         name='fusion_c')(xs, m_br, train)
-        ys = HRStage(cfg.stage4, cfg.stage4.out_channels, dtype=self.dtype,
+        ys = HRStage(cfg.stage4, cfg.stage4.out_channels, remat=cfg.remat,
+                     dtype=self.dtype,
                      name='stage4')(xs, train)
 
         # ---- optional modality stage D + pre-neck fusion ----
         if cfg.pre_neck_fusion:
-            mods = ModalityStage(cfg.stage_d, nm, dtype=self.dtype,
+            mods = ModalityStage(cfg.stage_d, nm, remat=cfg.remat, dtype=self.dtype,
                                  name='stage_d')(m_br[0], train)
             m_br = ModalityTransition(cfg.stage_d.out_channels,
                                       cfg.fusion_d.num_channels, nm,
                                       dtype=self.dtype,
                                       name='transition_d')(mods, train)
-            xs = FusionBank(cfg.fusion_d, nm, dtype=self.dtype,
+            xs = FusionBank(cfg.fusion_d, nm, remat=cfg.remat, dtype=self.dtype,
                             name='fusion_d')(ys, m_br, train)
             ys = [nn.relu(v) for v in xs]
         return ys

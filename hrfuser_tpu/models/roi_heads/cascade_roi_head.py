@@ -24,7 +24,8 @@ from flax import linen as nn
 from hrfuser_tpu.models.roi_heads.bbox_head import Shared2FCBBoxHead
 from hrfuser_tpu.ops.boxes import delta2bbox
 from hrfuser_tpu.ops.nms import NEG_INF, multiclass_nms
-from hrfuser_tpu.ops.roi_align import multilevel_roi_align
+from hrfuser_tpu.ops.roi_align import (multilevel_roi_align,
+                                        multilevel_roi_align_onehot)
 
 Array = jnp.ndarray
 
@@ -45,8 +46,18 @@ class RoIHeadCfg:
     # `sampling_ratio=0` semantics (ceil(bin) points, capped at max_grid)
     sample_num: int = 2
     max_grid: int = 4
-    # RoIAlign gathers (and their backward scatters) are the dominant
-    # HBM traffic of the train step; bf16 halves it. False = exact f32.
+    # RoIAlign formulation: 'onehot' = separable one-hot matmuls (MXU,
+    # scatter-free backward — the fast path for training); 'gather' =
+    # 4-tap row gathers (less HBM traffic; backward is a scatter-add).
+    # Training pools 512 RoIs/img (onehot's [B,N,7,W,C] intermediate is
+    # affordable and the scatter-free backward dominates); inference
+    # pools 1000 RoIs/img with no backward, where the intermediate is
+    # pure overhead — hence separate train/eval methods.
+    pool_method: str = 'onehot'
+    pool_method_eval: str = 'gather'
+    # gathers (and their backward scatters) are the dominant HBM traffic
+    # of the 'gather' train step; bf16 halves it. False = exact f32.
+    # For 'onehot' this selects the einsum input dtype (f32 accumulate).
     gather_bf16: bool = True
     finest_scale: int = 56
     featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
@@ -75,7 +86,15 @@ class CascadeRoIHead(nn.Module):
             for i in range(self.cfg.num_stages)
         ]
 
-    def _pool(self, feats: Sequence[Array], rois: Array) -> Array:
+    def _pool(self, feats: Sequence[Array], rois: Array,
+              method: Optional[str] = None) -> Array:
+        dt = jnp.bfloat16 if self.cfg.gather_bf16 else jnp.float32
+        if (method or self.cfg.pool_method) == 'onehot':
+            return multilevel_roi_align_onehot(
+                list(feats), rois, list(self.cfg.featmap_strides),
+                out_size=self.cfg.roi_size, sample_num=self.cfg.sample_num,
+                finest_scale=self.cfg.finest_scale,
+                max_grid=self.cfg.max_grid, compute_dtype=dt)
         return multilevel_roi_align(
             list(feats), rois, list(self.cfg.featmap_strides),
             out_size=self.cfg.roi_size, sample_num=self.cfg.sample_num,
@@ -83,8 +102,9 @@ class CascadeRoIHead(nn.Module):
             gather_dtype=jnp.bfloat16 if self.cfg.gather_bf16 else None)
 
     def forward_stage(self, stage: int, feats: Sequence[Array],
-                      rois: Array) -> Tuple[Array, Array]:
-        pooled = self._pool(feats, rois).astype(
+                      rois: Array, pool_method: Optional[str] = None
+                      ) -> Tuple[Array, Array]:
+        pooled = self._pool(feats, rois, pool_method).astype(
             self.dtype or jnp.float32)
         return self.bbox_heads[stage](pooled)
 
@@ -131,7 +151,8 @@ class CascadeRoIHead(nn.Module):
         ms_logits = []
         deltas = None
         for i in range(cfg.num_stages):
-            logits, deltas = self.forward_stage(i, feats, rois)
+            logits, deltas = self.forward_stage(
+                i, feats, rois, pool_method=cfg.pool_method_eval)
             ms_logits.append(logits)
             if i < cfg.num_stages - 1:
                 # refine: decode class-agnostic deltas on current rois

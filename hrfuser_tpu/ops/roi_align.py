@@ -192,6 +192,93 @@ def multilevel_roi_align(feats: Sequence[Array], rois: Array,
     return _bin_reduce(val, wy, wx, out_size, grid)
 
 
+def _axis_onehot(start: Array, bin_size: Array, size: int, out_size: int,
+                 sample_num: int, max_grid: int, dtype) -> Array:
+    """Dense separable sampling matrix for one axis.
+
+    Returns W [N, out_size, size] with W[n, p, r] = the total bilinear
+    weight of feature row r in output bin p of RoI n (grid weights,
+    bilinear lo/hi taps and the (-1, size) inside mask all folded in).
+    The 2-D RoIAlign weight factorizes as W_y ⊗ W_x, so pooling becomes
+    two einsums that run on the MXU — and the backward becomes two
+    transposed matmuls instead of a scatter-add.
+    """
+    n = start.shape[0]
+    if sample_num > 0:
+        grid = sample_num
+        cnt = jnp.full((n,), float(sample_num), start.dtype)
+    else:
+        grid = max_grid
+        cnt = jnp.clip(jnp.ceil(bin_size), 1, grid)
+    g = jnp.arange(grid, dtype=start.dtype)
+    active = g[None, :] < cnt[:, None]                   # [N, grid]
+    gi = jnp.minimum(g[None, :], cnt[:, None] - 1.0)
+    s = (gi + 0.5) / cnt[:, None]                        # [N, grid]
+    p = jnp.arange(out_size, dtype=start.dtype)
+    frac = p[None, :, None] + s[:, None, :]              # [N, out, grid]
+    coord = start[:, None, None] + frac * bin_size[:, None, None]
+
+    inside = (coord > -1.0) & (coord < float(size))
+    c = jnp.clip(coord, 0.0, float(size) - 1.0)
+    lo = jnp.floor(c)
+    hi = jnp.minimum(lo + 1.0, float(size) - 1.0)
+    w_hi = c - lo
+    w_lo = 1.0 - w_hi
+    wg = (active.astype(start.dtype) / cnt[:, None])[:, None, :]
+    w_lo = (w_lo * wg * inside).astype(dtype)            # [N, out, grid]
+    w_hi = (w_hi * wg * inside).astype(dtype)
+
+    rows = jnp.arange(size, dtype=start.dtype)
+    one_lo = (rows[None, None, None, :] == lo[..., None]).astype(dtype)
+    one_hi = (rows[None, None, None, :] == hi[..., None]).astype(dtype)
+    w = one_lo * w_lo[..., None] + one_hi * w_hi[..., None]
+    return w.sum(axis=2)                                 # [N, out, size]
+
+
+def multilevel_roi_align_onehot(feats: Sequence[Array], rois: Array,
+                                strides: Sequence[int], out_size: int = 7,
+                                sample_num: int = 2,
+                                finest_scale: int = 56,
+                                aligned: bool = True, max_grid: int = 4,
+                                compute_dtype=jnp.bfloat16) -> Array:
+    """RoIAlign as separable one-hot matmuls (MXU path, scatter-free).
+
+    Numerically equivalent to `multilevel_roi_align` (same coordinates,
+    weights and masks; f32 accumulation via preferred_element_type) but
+    expressed as 2 einsums per FPN level. On TPU the train-step backward
+    of the gather formulation is a serialization-bound scatter-add
+    (~5ms per [61k, 256] scatter at r640/batch 3); here it is two
+    transposed matmuls.
+    """
+    num_levels = len(feats)
+    lvl = map_roi_levels(rois, num_levels, finest_scale)
+    offset = 0.5 if aligned else 0.0
+    out = None
+    for li, f in enumerate(feats):
+        h, w, c = f.shape
+        scale = 1.0 / strides[li]
+        x1 = rois[:, 0] * scale - offset
+        y1 = rois[:, 1] * scale - offset
+        roi_w = rois[:, 2] * scale - offset - x1
+        roi_h = rois[:, 3] * scale - offset - y1
+        if not aligned:
+            roi_w = jnp.maximum(roi_w, 1.0)
+            roi_h = jnp.maximum(roi_h, 1.0)
+        wy = _axis_onehot(y1, roi_h / out_size, h, out_size, sample_num,
+                          max_grid, compute_dtype)
+        wx = _axis_onehot(x1, roi_w / out_size, w, out_size, sample_num,
+                          max_grid, compute_dtype)
+        sel = (lvl == li).astype(compute_dtype)
+        wy = wy * sel[:, None, None]
+        tmp = jnp.einsum('nph,hwc->npwc', wy, f.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+        lvl_out = jnp.einsum('nqw,npwc->npqc', wx,
+                             tmp.astype(compute_dtype),
+                             preferred_element_type=jnp.float32)
+        out = lvl_out if out is None else out + lvl_out
+    return out
+
+
 def _sample_coords_per_roi(rois: Array, scale: Array, out_size: int,
                            sample_num: int, aligned: bool,
                            max_grid: int = 4):

@@ -188,3 +188,34 @@ def test_aug_test_flip_mirror_consistency(tiny_fusion):
     m2 = np.stack([96.0 - b2[v2][:, 2], 96.0 - b2[v2][:, 0]], -1)
     a1 = np.sort(np.stack([b1[v1][:, 0], b1[v1][:, 2]], -1), axis=0)
     np.testing.assert_allclose(a1, np.sort(m2, axis=0), atol=1e-3)
+
+
+def test_remat_backbone_forward_identical(tiny_fusion):
+    """cfg.remat recomputes activations in backward; forward must match
+    the non-remat build (same params) to float-reassociation tolerance."""
+    import dataclasses
+
+    cfg, det, variables = tiny_fusion
+    bb = dataclasses.replace(cfg.model.backbone, remat=True)
+    det_r = CascadeRCNN(dataclasses.replace(cfg.model, backbone=bb))
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.normal(0, 1, (1, 64, 96, 3)), jnp.float32)
+    mods = [jnp.asarray(rng.normal(0, 1, (1, 64, 96, 3)), jnp.float32)
+            for _ in range(2)]
+    f1 = det.apply(variables, img, mods, False, method='extract_feat')
+    f2 = det_r.apply(variables, img, mods, False, method='extract_feat')
+    for a, b in zip(f1, f2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
+
+    # grads exist and are finite through the remat path
+    def loss(params):
+        feats = det_r.apply(
+            {'params': params,
+             'batch_stats': variables.get('batch_stats', {})},
+            img, mods, False, method='extract_feat')
+        return sum((f ** 2).mean() for f in feats)
+
+    g = jax.grad(loss)(variables['params'])
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))

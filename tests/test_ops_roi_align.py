@@ -1,6 +1,7 @@
 """RoIAlign vs a naive per-sample numpy reference (aligned=True mode)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hrfuser_tpu.ops import map_roi_levels, multilevel_roi_align, roi_align
@@ -182,3 +183,51 @@ def test_multilevel_bf16_gather_close_to_f32():
                                            gather_dtype=jnp.bfloat16))
     assert bf16.dtype == np.float32          # accumulated in f32
     np.testing.assert_allclose(bf16, f32, atol=0.05, rtol=0.05)
+
+
+def test_onehot_matches_gather_f32():
+    """Separable one-hot matmul formulation == gather formulation (f32)."""
+    from hrfuser_tpu.ops import multilevel_roi_align_onehot
+    rng = np.random.default_rng(5)
+    feats = [jnp.asarray(rng.normal(0, 1, (32 // (2 ** i), 48 // (2 ** i), 8))
+                         .astype(np.float32)) for i in range(4)]
+    rois = jnp.asarray(np.array([[4., 4., 100., 90.],
+                                 [0., 0., 30., 20.],
+                                 [-8., -4., 40., 44.],     # partly outside
+                                 [10., 5., 120., 120.]], np.float32))
+    for sn in (2, 0):
+        ref = np.asarray(multilevel_roi_align(
+            feats, rois, [4, 8, 16, 32], sample_num=sn, max_grid=4))
+        got = np.asarray(multilevel_roi_align_onehot(
+            feats, rois, [4, 8, 16, 32], sample_num=sn, max_grid=4,
+            compute_dtype=jnp.float32))
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_onehot_bf16_close_and_differentiable():
+    from hrfuser_tpu.ops import multilevel_roi_align_onehot
+    rng = np.random.default_rng(6)
+    feats = [jnp.asarray(rng.normal(0, 1, (32 // (2 ** i), 48 // (2 ** i), 8))
+                         .astype(np.float32)) for i in range(4)]
+    rois = jnp.asarray(np.array([[4., 4., 100., 90.],
+                                 [0., 0., 30., 20.]], np.float32))
+    f32 = np.asarray(multilevel_roi_align_onehot(
+        feats, rois, [4, 8, 16, 32], compute_dtype=jnp.float32))
+    bf16 = np.asarray(multilevel_roi_align_onehot(
+        feats, rois, [4, 8, 16, 32], compute_dtype=jnp.bfloat16))
+    np.testing.assert_allclose(bf16, f32, atol=0.05, rtol=0.05)
+
+    # backward is matmuls: grads exist, are finite, and match the gather
+    # path's feature-gradients in f32
+    def loss_onehot(fs):
+        return (multilevel_roi_align_onehot(
+            fs, rois, [4, 8, 16, 32], compute_dtype=jnp.float32) ** 2).sum()
+
+    def loss_gather(fs):
+        return (multilevel_roi_align(fs, rois, [4, 8, 16, 32]) ** 2).sum()
+
+    g1 = jax.grad(loss_onehot)(feats)
+    g2 = jax.grad(loss_gather)(feats)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)

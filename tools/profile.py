@@ -36,6 +36,10 @@ def main():
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--img-hw', type=int, nargs=2, default=None)
     ap.add_argument('--trace-dir', default='')
+    ap.add_argument('--remat', action='store_true',
+                    help='rematerialize backbone modules in backward '
+                         '(fits larger train batches)')
+    ap.add_argument('--pool', choices=['onehot', 'gather'], default=None)
     args = ap.parse_args()
 
     from hrfuser_tpu.configs import get_config
@@ -47,6 +51,19 @@ def main():
     else:
         w, h = cfg.data.img_scale
         h, w = (h + 31) // 32 * 32, (w + 31) // 32 * 32
+
+    import dataclasses
+    model_cfg = cfg.model
+    if args.remat:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            backbone=dataclasses.replace(model_cfg.backbone, remat=True))
+    if args.pool:
+        model_cfg = dataclasses.replace(
+            model_cfg, roi=dataclasses.replace(model_cfg.roi,
+                                               pool_method=args.pool))
+    cfg = dataclasses.replace(cfg, model=model_cfg)
+
     det = CascadeRCNN(cfg.model)
     nmod = cfg.model.backbone.num_fused_modalities
     img = jnp.zeros((args.batch, h, w, 3), jnp.float32)
