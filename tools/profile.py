@@ -124,9 +124,20 @@ def main():
     ms = np.asarray(times) * 1e3
     print(f'[profile] {args.mode} batch={args.batch} hw={h}x{w} '
           f'iters={args.iters}')
-    print(f'[profile] p50={np.percentile(ms, 50):.2f}ms '
+    print(f'[profile] per-step (blocking): p50={np.percentile(ms, 50):.2f}ms '
           f'p90={np.percentile(ms, 90):.2f}ms mean={ms.mean():.2f}ms '
           f'-> {args.batch / (ms.mean() / 1e3):.1f} img/s')
+
+    # pipelined throughput: dispatch every step back-to-back and block
+    # once — jax async dispatch overlaps host latency with device work,
+    # which is how a real train/serve loop runs
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = run()
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(f'[profile] pipelined: {dt / args.iters * 1e3:.2f}ms/step '
+          f'-> {args.batch * args.iters / dt:.1f} img/s')
 
 
 if __name__ == '__main__':

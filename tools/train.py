@@ -48,6 +48,13 @@ def parse_args():
                         'the EvalHook equivalent')
     p.add_argument('--img-hw', type=int, nargs=2, default=None,
                    help='override input H W (synthetic mode)')
+    p.add_argument('--samples-per-device', type=int, default=None,
+                   help='override cfg.schedule.samples_per_device '
+                        '(24 fits r640 with --remat on 16GB chips)')
+    p.add_argument('--remat', action='store_true',
+                   help='rematerialize backbone modules in backward '
+                        '(activation memory ~halves; enables large '
+                        'per-chip batches)')
     return p.parse_args()
 
 
@@ -96,6 +103,17 @@ def main():
                                               save_checkpoint)
 
     cfg = get_config(args.config)
+    import dataclasses
+    if args.remat:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, backbone=dataclasses.replace(
+                    cfg.model.backbone, remat=True)))
+    if args.samples_per_device:
+        cfg = dataclasses.replace(
+            cfg, schedule=dataclasses.replace(
+                cfg.schedule,
+                samples_per_device=args.samples_per_device))
     work_dir = args.work_dir or os.path.join('work_dirs', cfg.name)
     os.makedirs(work_dir, exist_ok=True)
 
