@@ -85,9 +85,31 @@ def inference_detector(detector: Detector, img: np.ndarray,
                             sensor_type=name)(results)
     results = Resize(detector.cfg.data.img_scale, keep_ratio=True,
                      skip_keys=[f'{n}_img' for n in mods_names])(results)
+    # offline sensor projections are rendered at the model grid, so the
+    # dataset pipeline never resizes them (`skip_keys`); for this
+    # convenience API, bring mismatched streams onto the camera's grid
+    # with nearest-neighbour (preserves sparse-splat semantics)
+    cam_hw = results['img'].shape[:2]
+    for n in mods_names:
+        key = f'{n}_img'
+        if key in results and results[key].shape[:2] != cam_hw:
+            import cv2
+            m = cv2.resize(results[key], (cam_hw[1], cam_hw[0]),
+                           interpolation=cv2.INTER_NEAREST)
+            results[key] = m[..., None] if m.ndim == 2 else m
     results = Normalize(**norm['img'], keys=['img'])(results)
     results = Pad(detector.cfg.data.pad_divisor)(results)
-    mod_arrays = [results[f'{n}_img'] for n in mods_names] or None
+    if mods_names and mod_imgs is None:
+        # camera-only request on a fusion model: feed zeroed sensor
+        # streams in NORMALIZED space — exactly what RandomDrop trains
+        # the model to tolerate (`transforms.py:486-514`), so this
+        # degrades gracefully instead of failing like the reference's
+        # camera-only inference API
+        mod_ch = detector.cfg.model.backbone.mod_in_channels
+        hw = results['img'].shape[:2]
+        mod_arrays = [np.zeros((*hw, c), np.float32) for c in mod_ch]
+    else:
+        mod_arrays = [results[f'{n}_img'] for n in mods_names] or None
     return detector(results['img'], mod_arrays,
                     img_shape=results['img_shape'][:2],
                     scale_factor=results['scale_factor'])

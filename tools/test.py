@@ -39,6 +39,10 @@ def parse_args():
     p.add_argument('--img-hw', type=int, nargs=2, default=None,
                    help='override input H W (synthetic mode)')
     p.add_argument('--out', default=None, help='dump metrics json')
+    p.add_argument('--show-dir', default=None,
+                   help='render detections onto the original images and '
+                        'write PNGs here (reference --show-dir)')
+    p.add_argument('--show-score-thr', type=float, default=0.3)
     return p.parse_args()
 
 
@@ -119,6 +123,32 @@ def main():
     if args.out:
         with open(args.out, 'w') as f:
             json.dump(metrics, f, indent=2)
+
+    if args.show_dir:
+        import os
+
+        import cv2
+
+        from hrfuser_tpu.utils.visualization import draw_detections
+        os.makedirs(args.show_dir, exist_ok=True)
+        prefix = getattr(dataset, 'img_prefix', args.data_root)
+        n_drawn = 0
+        for r in results:
+            fname = (r['meta'] or {}).get('filename')
+            if not fname:
+                continue
+            path = fname if _osp.isabs(fname) else _osp.join(prefix, fname)
+            img = cv2.imread(path)
+            if img is None:
+                continue
+            vis = draw_detections(img, r['boxes'], r['labels'],
+                                  r['scores'],
+                                  class_names=cfg.data.classes,
+                                  score_thr=args.show_score_thr)
+            out_name = _osp.basename(fname)
+            cv2.imwrite(_osp.join(args.show_dir, out_name), vis)
+            n_drawn += 1
+        print(f'[show] wrote {n_drawn} visualizations to {args.show_dir}')
 
 
 if __name__ == '__main__':
