@@ -89,12 +89,21 @@ class CascadeRoIHead(nn.Module):
     def _pool(self, feats: Sequence[Array], rois: Array,
               method: Optional[str] = None) -> Array:
         dt = jnp.bfloat16 if self.cfg.gather_bf16 else jnp.float32
-        if (method or self.cfg.pool_method) == 'onehot':
+        method = method or self.cfg.pool_method
+        if method == 'onehot':
             return multilevel_roi_align_onehot(
                 list(feats), rois, list(self.cfg.featmap_strides),
                 out_size=self.cfg.roi_size, sample_num=self.cfg.sample_num,
                 finest_scale=self.cfg.finest_scale,
                 max_grid=self.cfg.max_grid, compute_dtype=dt)
+        if method == 'pallas':
+            from hrfuser_tpu.ops.pallas_roi_align import (
+                multilevel_roi_align_pallas)
+            return multilevel_roi_align_pallas(
+                list(feats), rois, tuple(self.cfg.featmap_strides),
+                out_size=self.cfg.roi_size,
+                sample_num=self.cfg.sample_num,
+                finest_scale=self.cfg.finest_scale)
         return multilevel_roi_align(
             list(feats), rois, list(self.cfg.featmap_strides),
             out_size=self.cfg.roi_size, sample_num=self.cfg.sample_num,

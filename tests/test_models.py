@@ -219,3 +219,32 @@ def test_remat_backbone_forward_identical(tiny_fusion):
     g = jax.grad(loss)(variables['params'])
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_4mod_heterogeneous_channels_forward():
+    """STF-style fusion: 3 modalities with different channel counts
+    (lidar yzi=3, radar yzv=2, gated grey=1; reference STF 4-mod cfg)."""
+    import dataclasses
+
+    from hrfuser_tpu.configs.presets import detector, hrfuser_backbone
+
+    model = detector(hrfuser_backbone(channels=(8, 16, 24, 32),
+                                      heads=(1, 2, 2, 4),
+                                      num_modalities=3,
+                                      mod_in_channels=(3, 2, 1)),
+                     num_classes=3)
+    model = dataclasses.replace(
+        model,
+        roi=dataclasses.replace(model.roi, num_classes=3,
+                                fc_out_channels=64, max_per_img=10),
+        rpn_test=dataclasses.replace(model.rpn_test, nms_pre=100,
+                                     max_per_img=50),
+        neck_out_channels=32)
+    det = CascadeRCNN(model)
+    img = jnp.zeros((1, 64, 96, 3))
+    mods = [jnp.zeros((1, 64, 96, c)) for c in (3, 2, 1)]
+    variables = jax.jit(functools.partial(det.init, train=False))(
+        jax.random.PRNGKey(0), img, mods)
+    out = jax.jit(functools.partial(predict, det))(variables, img, mods)
+    assert out.boxes.shape == (1, 10, 4)
+    assert np.isfinite(np.asarray(out.boxes)).all()

@@ -1,0 +1,56 @@
+"""Fused Pallas RoIAlign vs the XLA gather formulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hrfuser_tpu.ops import multilevel_roi_align
+from hrfuser_tpu.ops.pallas_roi_align import multilevel_roi_align_pallas
+
+INTERPRET = jax.default_backend() != 'tpu'
+
+
+def _feats(rng, h0=96, w0=160, c=256, levels=4):
+    return [jnp.asarray(
+        rng.normal(0, 1, (h0 // 2 ** i, w0 // 2 ** i, c)).astype(np.float32))
+        for i in range(levels)]
+
+
+def test_pallas_roi_align_matches_gather():
+    rng = np.random.default_rng(0)
+    feats = _feats(rng, h0=64, w0=96, c=256)
+    # spans covering every level incl. edge/outside cases
+    rois = jnp.asarray(np.array(
+        [[4., 4., 100., 90.],        # level 0
+         [0., 0., 30., 20.],         # small, corner
+         [-8., -4., 40., 44.],       # partly outside
+         [10., 5., 200., 180.],      # level 1
+         [0., 0., 383., 250.],       # level 2/3, full width
+         [100., 60., 380., 255.],    # large
+         [5., 5., 6., 6.],           # tiny
+         [50., 40., 150., 120.]],    # mid
+        np.float32))
+    ref = np.asarray(multilevel_roi_align(
+        feats, rois, [4, 8, 16, 32], gather_dtype=jnp.bfloat16))
+    got = np.asarray(multilevel_roi_align_pallas(
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+
+def test_pallas_roi_align_larger_batch_of_rois():
+    rng = np.random.default_rng(1)
+    feats = _feats(rng, h0=96, w0=160, c=256)
+    n = 64
+    x1 = rng.uniform(-10, 500, n)
+    y1 = rng.uniform(-10, 300, n)
+    w = rng.uniform(2, 400, n)
+    h = rng.uniform(2, 250, n)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1)
+                       .astype(np.float32))
+    ref = np.asarray(multilevel_roi_align(
+        feats, rois, [4, 8, 16, 32], gather_dtype=jnp.bfloat16))
+    got = np.asarray(multilevel_roi_align_pallas(
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET))
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)

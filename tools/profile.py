@@ -108,14 +108,25 @@ def main():
             state, metrics = train_step(state, batch, rng)
             return metrics
 
-    jax.block_until_ready(run())                 # compile
+    def hard_sync(out):
+        """Force REAL completion by materializing a scalar on the host.
+
+        `jax.block_until_ready` on the tunneled TPU platform returns
+        before execution finishes (a 355 ms XLA module "blocked" in
+        3 ms; verified against module spans in the profiler trace), so
+        every timing here syncs through a host transfer instead.
+        """
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+
+    hard_sync(run())                             # compile + real sync
     times = []
     if args.trace_dir:
         jax.profiler.start_trace(args.trace_dir)
     for _ in range(args.iters):
         t0 = time.perf_counter()
         out = run()
-        jax.block_until_ready(out)
+        hard_sync(out)
         times.append(time.perf_counter() - t0)
     if args.trace_dir:
         jax.profiler.stop_trace()
@@ -124,19 +135,19 @@ def main():
     ms = np.asarray(times) * 1e3
     print(f'[profile] {args.mode} batch={args.batch} hw={h}x{w} '
           f'iters={args.iters}')
-    print(f'[profile] per-step (blocking): p50={np.percentile(ms, 50):.2f}ms '
+    print(f'[profile] per-step (hard sync): p50={np.percentile(ms, 50):.2f}ms '
           f'p90={np.percentile(ms, 90):.2f}ms mean={ms.mean():.2f}ms '
           f'-> {args.batch / (ms.mean() / 1e3):.1f} img/s')
 
-    # pipelined throughput: dispatch every step back-to-back and block
-    # once — jax async dispatch overlaps host latency with device work,
-    # which is how a real train/serve loop runs
+    # queued throughput: dispatch every step back-to-back, sync once at
+    # the end (the device executes submissions in order, so the last
+    # output's readiness implies all finished)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = run()
-    jax.block_until_ready(out)
+    hard_sync(out)
     dt = time.perf_counter() - t0
-    print(f'[profile] pipelined: {dt / args.iters * 1e3:.2f}ms/step '
+    print(f'[profile] queued: {dt / args.iters * 1e3:.2f}ms/step '
           f'-> {args.batch * args.iters / dt:.1f} img/s')
 
 
