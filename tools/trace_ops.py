@@ -101,18 +101,55 @@ def op_breakdown(xplane_path: str, device_substr: str = '/device:'):
     return dur, cnt
 
 
+def module_steps(xplane_path: str, device_substr: str = '/device:') -> int:
+    """Number of executions of the dominant (longest-total) XLA module.
+
+    Dividing op totals by this count gives honest per-step numbers; the
+    wall-clock-longest module is the profiled workload, shorter modules
+    (sync sums etc.) are ignored.
+    """
+    space = parse_fields(open(xplane_path, 'rb').read())
+    per_module = collections.Counter()
+    counts = collections.Counter()
+    for pl in space.get(1, []):
+        p = parse_fields(pl)
+        pname = p.get(2, [b''])[0].decode()
+        if device_substr not in pname or 'CUSTOM' in pname:
+            continue
+        meta = {}
+        for m in p.get(4, []):
+            e = parse_fields(m)
+            em = parse_fields(e[2][0])
+            meta[e[1][0]] = em.get(2, [b'?'])[0].decode()
+        for ln in p.get(3, []):
+            l = parse_fields(ln)
+            if l.get(2, [b''])[0] != b'XLA Modules':
+                continue
+            for ev in l.get(4, []):
+                e = parse_fields(ev)
+                name = meta.get(e[1][0], str(e[1][0]))
+                per_module[name] += e.get(3, [0])[0]
+                counts[name] += 1
+    if not per_module:
+        return 1
+    return max(counts[per_module.most_common(1)[0][0]], 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('trace_dir')
     ap.add_argument('--top', type=int, default=40)
-    ap.add_argument('--steps', type=int, default=20,
-                    help='steps captured (divides totals)')
+    ap.add_argument('--steps', type=int, default=0,
+                    help='steps captured (divides totals); 0 = derive '
+                         'from the dominant XLA Modules span count')
     args = ap.parse_args()
 
     files = sorted(glob.glob(
         osp.join(args.trace_dir, 'plugins/profile/*/*.xplane.pb')))
     if not files:
         raise SystemExit(f'no .xplane.pb under {args.trace_dir}')
+    if not args.steps:
+        args.steps = module_steps(files[-1])
     dur, cnt = op_breakdown(files[-1])
     total = sum(dur.values())
     print(f'# {files[-1]}')
