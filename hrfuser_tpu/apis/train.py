@@ -81,8 +81,15 @@ def create_train_state(detector, variables, optim: OptimCfg,
                       opt_state), tx
 
 
-def make_train_step(detector, tx: optax.GradientTransformation):
-    """Build the (jittable) train step: loss -> grads -> AdamW update."""
+def make_train_step(detector, tx: optax.GradientTransformation,
+                    rpn_proposal_cfg: Optional[dict] = None,
+                    rcnn_train_cfgs: Optional[Tuple] = None):
+    """Build the (jittable) train step: loss -> grads -> AdamW update.
+
+    `rpn_proposal_cfg` / `rcnn_train_cfgs` override the reference train
+    caps (2000 proposals, 512 sampled RoIs/stage) — used by tests and
+    the multichip dry run to keep compile-time-bounded graphs.
+    """
 
     def train_step(state: TrainState, batch: Dict[str, Array], rng: Array
                    ) -> Tuple[TrainState, Dict[str, Array]]:
@@ -90,8 +97,10 @@ def make_train_step(detector, tx: optax.GradientTransformation):
 
         def loss_fn(params):
             variables = {'params': params, 'batch_stats': state.batch_stats}
-            loss, metrics, updated = forward_train(detector, variables,
-                                                   batch, rng)
+            loss, metrics, updated = forward_train(
+                detector, variables, batch, rng,
+                rpn_proposal_cfg=rpn_proposal_cfg,
+                rcnn_train_cfgs=rcnn_train_cfgs)
             return loss, (metrics, updated.get('batch_stats',
                                                state.batch_stats))
 

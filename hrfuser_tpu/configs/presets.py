@@ -206,6 +206,52 @@ def _tiny_fusion() -> ExperimentCfg:
         schedule=ScheduleCfg(samples_per_device=2), optim=OptimCfg())
 
 
+@register('micro_fusion_dryrun')
+def _micro_fusion() -> ExperimentCfg:
+    """Smallest-possible fusion model exercising every train-step code
+    path (2 modalities, MWCA fusion at every stage, 3-stage cascade) —
+    built for the multichip dry run, where the whole sharded train step
+    must COMPILE on a 1-core CPU host inside the driver's timeout.
+    One module of one block per stage; not a reference config."""
+    ch = (8, 16, 24, 32)
+    heads = (1, 1, 1, 1)
+
+    def cam_stage(n_br):
+        return StageCfg(num_modules=1, num_branches=n_br, block='HRFORMER',
+                        num_blocks=(1,) * n_br, num_channels=ch[:n_br],
+                        num_heads=heads[:n_br], window_sizes=(7,) * n_br,
+                        mlp_ratios=(2,) * n_br)
+
+    def mod_stage():
+        return StageCfg(num_modules=1, num_branches=1, block='HRFORMER',
+                        num_blocks=(1,), num_channels=(ch[0],),
+                        num_heads=(1,), window_sizes=(7,), mlp_ratios=(2,))
+
+    def fusion(n):
+        return FusionCfg(num_branches=n, num_channels=ch[:n],
+                         num_heads=heads[:n], window_sizes=(7,) * n,
+                         mlp_ratios=(2,) * n)
+
+    backbone = HRBackboneCfg(
+        stage1=StageCfg(1, 1, 'BOTTLENECK', (1,), (16,)),
+        stage2=cam_stage(2), stage3=cam_stage(3), stage4=cam_stage(4),
+        stage_a=StageCfg(1, 1, 'BOTTLENECK', (1,), (16,)),
+        stage_b=mod_stage(), stage_c=mod_stage(),
+        fusion_a=fusion(2), fusion_b=fusion(3), fusion_c=fusion(4),
+        num_fused_modalities=2, mod_in_channels=(3, 3))
+    model = detector(backbone, num_classes=4)
+    model = dataclasses.replace(
+        model,
+        roi=dataclasses.replace(model.roi, num_classes=4,
+                                fc_out_channels=32, max_per_img=8),
+        rpn_test=dataclasses.replace(model.rpn_test, nms_pre=64,
+                                     max_per_img=32),
+        neck_out_channels=32)
+    return ExperimentCfg(
+        name='micro_fusion_dryrun', model=model, data=_nus_data(),
+        schedule=ScheduleCfg(samples_per_device=1), optim=OptimCfg())
+
+
 @register('tiny_camera_test')
 def _tiny_camera() -> ExperimentCfg:
     """Miniature camera-only model for fast unit tests."""

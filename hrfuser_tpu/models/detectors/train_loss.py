@@ -35,7 +35,8 @@ RPN_PROPOSAL_TRAIN = dict(nms_pre=2000, max_per_img=2000, nms_iou=0.7,
 
 
 def forward_train(detector, variables, batch: Dict[str, Array],
-                  rng: Array, rpn_proposal_cfg: Optional[dict] = None
+                  rng: Array, rpn_proposal_cfg: Optional[dict] = None,
+                  rcnn_train_cfgs: Optional[Tuple] = None
                   ) -> Tuple[Array, Dict[str, Array], dict]:
     """Compute the total loss for one batch.
 
@@ -108,7 +109,8 @@ def forward_train(detector, variables, batch: Dict[str, Array],
 
     # ---- cascade stages ----
     stage_weights = cfg.roi.stage_loss_weights
-    for i, s_cfg in enumerate(RCNN_TRAIN_CFGS[:cfg.roi.num_stages]):
+    stage_cfgs = rcnn_train_cfgs or RCNN_TRAIN_CFGS
+    for i, s_cfg in enumerate(stage_cfgs[:cfg.roi.num_stages]):
         stage_rngs = jax.random.split(rng_stages[i], b)
         tgt = jax.vmap(
             lambda r, p, pv, gtb, gtl, gtv: rcnn_stage_targets_single(

@@ -13,14 +13,15 @@ from hrfuser_tpu.models.detectors.cascade_rcnn import predict
 from hrfuser_tpu.parallel.mesh import batch_sharding, replicated
 
 
-def make_sharded_train_step(detector, tx, mesh: Mesh):
+def make_sharded_train_step(detector, tx, mesh: Mesh, **step_kwargs):
     """Data-parallel train step: replicated state, batch-sharded inputs.
 
     The gradient allreduce (reference: DDP/NCCL) is inserted by XLA
     because gradients of replicated params over a sharded batch reduce
     across the mesh; BN batch statistics likewise become global (SyncBN).
+    `step_kwargs` forward to `make_train_step` (train-cap overrides).
     """
-    step = make_train_step(detector, tx)
+    step = make_train_step(detector, tx, **step_kwargs)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
 
