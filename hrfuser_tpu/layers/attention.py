@@ -23,8 +23,8 @@ from typing import Any, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hrfuser_tpu.layers.common import (BatchNorm, DropPath, LayerNorm,
-                                       torch_pad)
+from hrfuser_tpu.layers.common import (BatchNorm, DepthwiseConv3x3,
+                                       DropPath, LayerNorm, torch_pad)
 from hrfuser_tpu.ops.window import (relative_position_index, window_partition,
                                     window_reverse)
 
@@ -145,9 +145,7 @@ class CrossFFN(nn.Module):
         x = nn.Conv(self.hidden, (1, 1), dtype=self.dtype, name='fc1')(x)
         x = BatchNorm(dtype=self.dtype, name='norm1')(x, train)
         x = nn.gelu(x, approximate=False)
-        x = nn.Conv(self.hidden, (3, 3), padding=torch_pad(3),
-                    feature_group_count=self.hidden, dtype=self.dtype,
-                    name='dw')(x)
+        x = DepthwiseConv3x3(self.hidden, dtype=self.dtype, name='dw')(x)
         x = BatchNorm(dtype=self.dtype, name='norm2')(x, train)
         x = nn.gelu(x, approximate=False)
         x = nn.Conv(self.out, (1, 1), dtype=self.dtype, name='fc2')(x)

@@ -58,14 +58,62 @@ class ConvNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=self.stride, padding=torch_pad(self.kernel),
-                    feature_group_count=self.groups, use_bias=self.use_bias,
-                    dtype=self.dtype, name='conv')(x)
+        if (self.kernel == 3 and self.groups == self.features
+                and self.groups == x.shape[-1]):
+            # depthwise: shifted-FMA formulation (same params; see
+            # DepthwiseConv3x3 for why)
+            x = DepthwiseConv3x3(self.features, stride=self.stride,
+                                 use_bias=self.use_bias, dtype=self.dtype,
+                                 name='conv')(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=self.stride, padding=torch_pad(self.kernel),
+                        feature_group_count=self.groups,
+                        use_bias=self.use_bias,
+                        dtype=self.dtype, name='conv')(x)
         x = BatchNorm(dtype=self.dtype, name='norm')(x, train)
         if self.act:
             x = nn.relu(x)
         return x
+
+
+class DepthwiseConv3x3(nn.Module):
+    """Depthwise 3x3 conv as 9 shifted multiply-adds.
+
+    Numerically the torch depthwise conv (zero pad 1, stride 1), but
+    avoids XLA:TPU's grouped-convolution lowering, which profiles ~5x
+    slower than this formulation at HRFuser widths (the reference's
+    CrossFFN dw convs, `hrformer.py:239-295`, were ~23 ms of a 95 ms
+    backbone step). Parameter names/shapes match `nn.Conv(features,
+    (3,3), feature_group_count=features)` — kernel [3, 3, 1, C], bias
+    [C] — so `.pth` conversion is unchanged.
+    """
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = self.features
+        s = self.stride
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, 1, c), jnp.float32)
+        dt = self.dtype or x.dtype
+        k = kernel.astype(dt)
+        xp = jnp.pad(x.astype(dt), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h, w = x.shape[1], x.shape[2]
+        oh, ow = (h - 1) // s + 1, (w - 1) // s + 1
+        y = None
+        for dy in range(3):
+            for dx in range(3):
+                t = xp[:, dy:dy + s * (oh - 1) + 1:s,
+                       dx:dx + s * (ow - 1) + 1:s, :] * k[dy, dx, 0]
+                y = t if y is None else y + t
+        if self.use_bias:
+            y = y + self.param('bias', nn.initializers.zeros, (c,),
+                               jnp.float32).astype(dt)
+        return y
 
 
 class LayerNorm(nn.Module):

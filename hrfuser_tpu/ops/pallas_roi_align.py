@@ -217,8 +217,10 @@ def multilevel_roi_align_pallas(feats, rois: Array,
         `multilevel_roi_align` (aligned=True, static sample grid).
     """
     c = feats[0].shape[-1]
+    n_in = rois.shape[0]
+    if n_in % CHUNK:                     # pad to the chunk grid
+        rois = jnp.pad(rois, ((0, CHUNK - n_in % CHUNK), (0, 0)))
     n = rois.shape[0]
-    assert n % CHUNK == 0, f'N={n} must be a multiple of {CHUNK}'
     sizes = tuple((f.shape[0], f.shape[1]) for f in feats)
     dt = jnp.bfloat16
 
@@ -262,4 +264,4 @@ def multilevel_roi_align_pallas(feats, rois: Array,
     wide = span[fb_idx] > SPAN - 9
     out = out.at[fb_idx].set(
         jnp.where(wide[:, None, None, None], fb_out, out[fb_idx]))
-    return out
+    return out[:n_in]
