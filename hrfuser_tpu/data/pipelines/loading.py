@@ -118,6 +118,49 @@ class LoadGatedImageFromFile:
         return results
 
 
+class LoadStackedGatedImageFromFile:
+    """STF gated camera: 3 gated slices stacked on the channel axis.
+
+    Rebuild of `LoadStackedGatedImageFromFile`
+    (`mmdet/datasets/pipelines/loading.py:155-229`): one grey image per
+    gated slice folder, a missing slice contributes zeros (the
+    reference logs and substitutes `np.zeros(expected_shape)`), slices
+    concatenated channel-wise into `gated_img`.
+    """
+
+    def __init__(self,
+                 folders: Sequence[str] = ('gated0_rect', 'gated1_rect',
+                                           'gated2_rect'),
+                 expected_shape=(720, 1280)):
+        self.folders = list(folders)
+        self.expected_shape = tuple(expected_shape)
+
+    def __call__(self, results: dict) -> dict:
+        prefix = results.get('gated_prefix') or ''
+        name = (results['img_info'].get('gated_name')
+                or results['img_info']['filename'])
+        parts = []
+        fnames = []
+        for folder in self.folders:
+            fname = osp.join(prefix, folder, name)
+            fnames.append(fname)
+            if osp.exists(fname):
+                img = _imread(fname, 'grayscale')
+                if img.shape != self.expected_shape:
+                    raise ValueError(
+                        f'unexpected gated image shape {img.shape} '
+                        f'(want {self.expected_shape}): {fname}')
+            else:
+                img = np.zeros(self.expected_shape, np.float32)
+            parts.append(img.astype(np.float32)[..., None])
+        img = np.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]
+        results['gated_filenames'] = fnames
+        results['gated_img'] = img
+        results['gated_ori_shape'] = img.shape
+        results.setdefault('img_fields', []).append('gated_img')
+        return results
+
+
 class LoadAnnotations:
     """gt_bboxes/gt_labels (+ visibilities) from `ann_info`."""
 

@@ -66,12 +66,14 @@ def _greedy_match(ious: np.ndarray, g_ig_s: np.ndarray,
             iou_d = ious[di]
             ok = iou_d >= thr_eff
             # real (non-ignored, unmatched) gts take priority; ignored
-            # gts absorb leftovers and can match repeatedly
+            # gts absorb leftovers but are SINGLE-USE like any other
+            # non-crowd gt (COCOeval `gtm` check; found by differential
+            # fuzz vs the COCOeval oracle)
             real_ok = ok & g_real & ~g_used
             if real_ok.any():
                 best = _last_argmax(np.where(real_ok, iou_d, -1.0))
             else:
-                ig_ok = ok & g_ig_s
+                ig_ok = ok & g_ig_s & ~g_used
                 if not ig_ok.any():
                     continue
                 best = _last_argmax(np.where(ig_ok, iou_d, -1.0))
