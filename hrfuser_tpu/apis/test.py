@@ -21,23 +21,51 @@ from hrfuser_tpu.configs.presets import DataCfg, ExperimentCfg
 from hrfuser_tpu.models.detectors.cascade_rcnn import predict
 
 
-def run_inference(detector, variables, loader, progress: bool = True
-                  ) -> List[dict]:
+def run_inference(detector, variables, loader, progress: bool = True,
+                  mesh=None) -> List[dict]:
     """Run the model over a loader; returns per-image dicts
-    (boxes in original-image coordinates, scores, labels)."""
-    pred = jax.jit(functools.partial(predict, detector))
+    (boxes in original-image coordinates, scores, labels).
+
+    With more than one visible device (or an explicit `mesh`) the
+    batch axis is sharded over a data-parallel mesh — the reference's
+    `multi_gpu_test` + result collection (`mmdet/apis/test.py:187-308`),
+    with XLA sharding in place of DDP and plain host transfer in place
+    of the tmpdir-pickle/all_gather machinery.
+    """
+    if mesh is None and len(jax.devices()) > 1:
+        from hrfuser_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+    if mesh is not None and mesh.size > 1:
+        from hrfuser_tpu.parallel.api import make_sharded_predict
+        pred = make_sharded_predict(detector, mesh)
+        pad_to = mesh.size
+    else:
+        pred = jax.jit(functools.partial(predict, detector))
+        pad_to = 1
     results: List[dict] = []
     t0 = time.time()
     for bi, batch in enumerate(loader):
+        img = batch['img']
+        mod_imgs = batch.get('mod_imgs')
+        img_shapes = batch['img_shapes']
+        scale_factors = batch['scale_factors']
+        num_real = int(batch.get('num_real', len(img)))
+        if len(img) % pad_to:               # pad batch to the mesh size
+            reps = [(0, pad_to - len(img) % pad_to)]
+            pad = lambda x: np.concatenate(
+                [x, np.repeat(np.asarray(x)[-1:], reps[0][1], axis=0)])
+            img = pad(img)
+            mod_imgs = [pad(m) for m in mod_imgs] if mod_imgs else mod_imgs
+            img_shapes = pad(img_shapes)
+            scale_factors = pad(scale_factors)
         out = pred({'params': variables['params'],
                     'batch_stats': variables.get('batch_stats', {})},
-                   batch['img'], batch.get('mod_imgs'),
-                   batch['img_shapes'], batch['scale_factors'])
+                   img, mod_imgs, img_shapes, scale_factors)
         boxes = np.asarray(out.boxes)
         scores = np.asarray(out.scores)
         labels = np.asarray(out.labels)
         valid = np.asarray(out.valid)
-        real = int(batch.get('num_real', len(boxes)))
+        real = num_real
         for i in range(real):
             v = valid[i]
             results.append(dict(boxes=boxes[i][v], scores=scores[i][v],
@@ -52,8 +80,8 @@ def run_inference(detector, variables, loader, progress: bool = True
     return results
 
 
-def evaluate_nuscenes(results: List[dict], dataset,
-                      num_classes: int) -> Dict[str, float]:
+def evaluate_nuscenes(results: List[dict], dataset, num_classes: int,
+                      class_ids=None) -> Dict[str, float]:
     from hrfuser_tpu.evaluation.coco_map import evaluate_coco_map
     preds, gts = [], []
     for i, det in enumerate(results):
@@ -61,7 +89,18 @@ def evaluate_nuscenes(results: List[dict], dataset,
         preds.append(dict(boxes=det['boxes'], scores=det['scores'],
                           labels=det['labels']))
         gts.append(dict(boxes=ann['bboxes'], labels=ann['labels']))
-    return evaluate_coco_map(preds, gts, num_classes)
+    return evaluate_coco_map(preds, gts, num_classes, class_ids=class_ids)
+
+
+def evaluate_proposal_recall(results: List[dict], dataset,
+                             proposal_nums=(100, 300, 1000)
+                             ) -> Dict[str, float]:
+    """AR@N of the detections treated as class-agnostic proposals
+    (reference `metric='proposal_fast'`, `mmdet/datasets/coco.py:331-351`)."""
+    from hrfuser_tpu.evaluation.recall import fast_eval_recall
+    proposals = [np.concatenate(
+        [r['boxes'], r['scores'][:, None]], axis=1) for r in results]
+    return fast_eval_recall(dataset, proposals, proposal_nums)
 
 
 def evaluate_stf(results: List[dict], dataset, classes,
@@ -80,4 +119,5 @@ def evaluate(cfg: ExperimentCfg, results: List[dict], dataset
     if cfg.data.dataset == 'stf':
         return evaluate_stf(results, dataset, cfg.data.classes,
                             cfg.data.eval_on_crop)
-    return evaluate_nuscenes(results, dataset, len(cfg.data.classes))
+    return evaluate_nuscenes(results, dataset, len(cfg.data.classes),
+                             class_ids=cfg.data.evaluation_class_ids)

@@ -72,6 +72,9 @@ class DataCfg:
     # STF-only deterministic crops: ((h, w, off_h, off_w), ...)
     crops: Tuple[Tuple[int, int, int, int], ...] = ()
     eval_on_crop: Optional[Tuple[int, int, int, int]] = None
+    # restrict metric computation to a label subset (reference
+    # `evaluation_ids`, `mmdet/datasets/coco.py:485-486`); None = all
+    evaluation_class_ids: Optional[Tuple[int, ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)

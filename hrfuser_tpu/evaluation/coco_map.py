@@ -119,7 +119,8 @@ def _match_image_all_areas(dets: np.ndarray, det_scores: np.ndarray,
 
 
 def evaluate_coco_map(predictions: Sequence[dict], groundtruths: Sequence[dict],
-                      num_classes: int, max_dets: int = 100
+                      num_classes: int, max_dets: int = 100,
+                      class_ids: Optional[Sequence[int]] = None
                       ) -> Dict[str, float]:
     """COCO bbox mAP over paired per-image predictions/gts.
 
@@ -127,6 +128,10 @@ def evaluate_coco_map(predictions: Sequence[dict], groundtruths: Sequence[dict],
         predictions: per image dict(boxes [N,4], scores [N], labels [N]).
         groundtruths: per image dict(boxes [M,4], labels [M],
             ignore [M] bool optional).
+        class_ids: restrict evaluation to this label subset (the
+            reference's `evaluation_ids`, `mmdet/datasets/coco.py:485-486`
+            — classes outside the subset contribute neither dets nor gts,
+            and the mean runs over the subset only).
 
     Returns:
         {'mAP', 'mAP_50', 'mAP_75', 'mAP_s', 'mAP_m', 'mAP_l',
@@ -135,11 +140,14 @@ def evaluate_coco_map(predictions: Sequence[dict], groundtruths: Sequence[dict],
     t = len(IOU_THRS)
     r = len(RECALL_THRS)
     n_areas = len(AREA_RANGES)
-    # precision[t, r, class, area]
+    eval_cls = list(class_ids) if class_ids is not None \
+        else list(range(num_classes))
+    # precision[t, r, class, area]; non-evaluated classes stay -1 and are
+    # dropped by `_mean` exactly like empty-gt classes
     precision = -np.ones((t, r, num_classes, n_areas))
 
     area_names = list(AREA_RANGES)
-    for ci in range(num_classes):
+    for ci in eval_cls:
         acc = {a: {'m': [], 'ig': [], 'n_gt': 0} for a in area_names}
         scores_all = []
         for pred, gt in zip(predictions, groundtruths):

@@ -121,8 +121,12 @@ class CascadeRoIHead(nn.Module):
     def forward_stage(self, stage: int, feats: Sequence[Array],
                       rois: Array, pool_method: Optional[str] = None
                       ) -> Tuple[Array, Array]:
-        pooled = self._pool(feats, rois, pool_method).astype(
-            self.dtype or jnp.float32)
+        pooled = self._pool(feats, rois, pool_method)
+        # keep the pool's dtype (the Pallas path emits bf16 — forcing
+        # f32 here cost ~3 ms/step of pure convert copies at batch 8;
+        # the head's f32 params promote the matmul result back to f32)
+        if self.dtype is not None:
+            pooled = pooled.astype(self.dtype)
         return self.bbox_heads[stage](pooled)
 
     def __call__(self, feats: Sequence[Array], rois: Array):

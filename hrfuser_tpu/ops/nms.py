@@ -11,6 +11,10 @@ fixed-shape blocked computation that XLA maps onto the VPU/MXU:
     first suppressed by all boxes kept in earlier blocks (one [B, N] IoU
     matrix per block), then resolved internally by iterating the monotone
     suppression map to its fixed point (which equals the greedy result);
+  * the block loop STOPS as soon as `max_out` survivors exist: candidates
+    are score-sorted, so survivors in any later block rank strictly below
+    the `max_out` already kept and cannot enter the top-k output — the
+    final-detection NMS (max 100 of 2000) usually resolves in one block;
   * output is a fixed `max_out`-sized set: boxes, scores and a validity mask.
 
 Greedy semantics (including score-tie ordering via stable sort) match the
@@ -70,6 +74,45 @@ def _block_self_suppress(iou_tri_mask: Array, keep: Array) -> Array:
     return fixed
 
 
+def _suppress_blocks(sboxes: Array, valid: Array, iou_threshold: float,
+                     max_out: int, block_size: int,
+                     num_blocks: int) -> Array:
+    """Blocked greedy suppression over score-sorted, padded boxes.
+
+    Early-exits once `max_out` boxes are kept: every candidate in an
+    unprocessed block scores below every kept one, so it can never be
+    selected by the caller's final top-`max_out` — leaving its `keep`
+    bit untouched is exact.
+    """
+    np_ = sboxes.shape[0]
+    idx = jnp.arange(np_)
+
+    def cond(state):
+        i, _, kept = state
+        return jnp.logical_and(i < num_blocks, kept < max_out)
+
+    def body(state):
+        i, keep, kept = state
+        start = i * block_size
+        blk = jax.lax.dynamic_slice_in_dim(sboxes, start, block_size, 0)
+        blk_keep = jax.lax.dynamic_slice_in_dim(keep, start, block_size, 0)
+        # Suppress by earlier kept boxes (all positions before this block).
+        iou_prev = bbox_overlaps(blk, sboxes)               # [B, Np]
+        prev_mask = keep & (idx < start)
+        sup = jnp.any((iou_prev > iou_threshold) & prev_mask[None, :], axis=1)
+        blk_keep = blk_keep & ~sup
+        # Resolve the block internally (strict upper triangle: i suppresses j>i).
+        iou_blk = bbox_overlaps(blk, blk)
+        tri = (jnp.arange(block_size)[:, None] < jnp.arange(block_size)[None, :])
+        blk_keep = _block_self_suppress((iou_blk > iou_threshold) & tri, blk_keep)
+        keep = jax.lax.dynamic_update_slice_in_dim(keep, blk_keep, start, 0)
+        return i + 1, keep, kept + jnp.sum(blk_keep)
+
+    _, keep, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), valid,
+                                                 jnp.int32(0)))
+    return keep
+
+
 @functools.partial(jax.jit, static_argnames=('iou_threshold', 'max_out',
                                              'block_size'))
 def nms(boxes: Array, scores: Array, iou_threshold: float,
@@ -99,26 +142,8 @@ def nms(boxes: Array, scores: Array, iou_threshold: float,
     np_ = sboxes.shape[0]
     num_blocks = np_ // block_size
 
-    idx = jnp.arange(np_)
-
-    def outer(i, keep):
-        start = i * block_size
-        blk = jax.lax.dynamic_slice_in_dim(sboxes, start, block_size, 0)
-        blk_keep = jax.lax.dynamic_slice_in_dim(keep, start, block_size, 0)
-        # Suppress by earlier kept boxes (all positions before this block).
-        iou_prev = bbox_overlaps(blk, sboxes)               # [B, Np]
-        prev_mask = keep & (idx < start)
-        sup = jnp.any((iou_prev > iou_threshold) & prev_mask[None, :], axis=1)
-        blk_keep = blk_keep & ~sup
-        # Resolve the block internally (strict upper triangle: i suppresses j>i).
-        iou_blk = bbox_overlaps(blk, blk)
-        tri = (jnp.arange(block_size)[:, None] < jnp.arange(block_size)[None, :])
-        blk_keep = _block_self_suppress((iou_blk > iou_threshold) & tri, blk_keep)
-        return jax.lax.dynamic_update_slice_in_dim(keep, blk_keep, start, 0)
-
-    keep = jax.lax.fori_loop(0, num_blocks, outer, valid)
-
-    keep = keep[:n]
+    keep = _suppress_blocks(sboxes, valid, iou_threshold, max_out,
+                            block_size, num_blocks)[:n]
     kept_scores = jnp.where(keep, sscores[:n], NEG_INF)
     kept_boxes = sboxes[:n]
     if n < max_out:
@@ -158,24 +183,10 @@ def batched_nms(boxes: Array, scores: Array, idxs: Array,
 
     sshift = _pad_to_multiple(sshift, block_size, 0, 0.0)
     valid_p = _pad_to_multiple(valid, block_size, 0, False)
-    np_ = sshift.shape[0]
-    num_blocks = np_ // block_size
-    idx = jnp.arange(np_)
+    num_blocks = sshift.shape[0] // block_size
 
-    def outer(i, keep):
-        start = i * block_size
-        blk = jax.lax.dynamic_slice_in_dim(sshift, start, block_size, 0)
-        blk_keep = jax.lax.dynamic_slice_in_dim(keep, start, block_size, 0)
-        iou_prev = bbox_overlaps(blk, sshift)
-        prev_mask = keep & (idx < start)
-        sup = jnp.any((iou_prev > iou_threshold) & prev_mask[None, :], axis=1)
-        blk_keep = blk_keep & ~sup
-        iou_blk = bbox_overlaps(blk, blk)
-        tri = (jnp.arange(block_size)[:, None] < jnp.arange(block_size)[None, :])
-        blk_keep = _block_self_suppress((iou_blk > iou_threshold) & tri, blk_keep)
-        return jax.lax.dynamic_update_slice_in_dim(keep, blk_keep, start, 0)
-
-    keep = jax.lax.fori_loop(0, num_blocks, outer, valid_p)[:n]
+    keep = _suppress_blocks(sshift, valid_p, iou_threshold, max_out,
+                            block_size, num_blocks)[:n]
 
     kept_scores = jnp.where(keep, sscores, NEG_INF)
     kept_boxes, kept_idxs = sboxes, sidxs

@@ -121,3 +121,24 @@ def test_multiclass_nms_shapes_and_threshold():
     assert (s[v] > 0.05).all()
     assert ((lbl[v] >= 0) & (lbl[v] < c)).all()
     assert (lbl[~v] == -1).all()
+
+
+def test_nms_early_exit_parity():
+    """Early block-loop exit (kept >= max_out) must not change results:
+    spread-out boxes keep nearly every candidate, so max_out fills in
+    the first block while later blocks still hold valid candidates."""
+    rng = np.random.default_rng(7)
+    n = 512
+    cxy = rng.uniform(50, 5000, (n, 2))            # mostly non-overlapping
+    wh = rng.uniform(10, 30, (n, 2))
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    ref = _greedy_nms(boxes, scores, 0.5)
+    for max_out in (16, 100):
+        got_boxes, got_scores, valid = nms(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_out=max_out,
+            block_size=64)
+        nvalid = int(np.asarray(valid).sum())
+        assert nvalid == min(len(ref), max_out)
+        np.testing.assert_allclose(np.asarray(got_boxes)[:nvalid],
+                                   boxes[ref[:nvalid]], atol=1e-4)

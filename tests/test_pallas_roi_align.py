@@ -11,6 +11,10 @@ from hrfuser_tpu.ops.pallas_roi_align import multilevel_roi_align_pallas
 INTERPRET = jax.default_backend() != 'tpu'
 
 
+def _f32(x):
+    return jnp.asarray(x, jnp.float32)
+
+
 def _feats(rng, h0=96, w0=160, c=256, levels=4):
     return [jnp.asarray(
         rng.normal(0, 1, (h0 // 2 ** i, w0 // 2 ** i, c)).astype(np.float32))
@@ -33,8 +37,8 @@ def test_pallas_roi_align_matches_gather():
         np.float32))
     ref = np.asarray(multilevel_roi_align(
         feats, rois, [4, 8, 16, 32], gather_dtype=jnp.bfloat16))
-    got = np.asarray(multilevel_roi_align_pallas(
-        feats, rois, (4, 8, 16, 32), interpret=INTERPRET))
+    got = np.asarray(_f32(multilevel_roi_align_pallas(
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
@@ -51,6 +55,6 @@ def test_pallas_roi_align_larger_batch_of_rois():
                        .astype(np.float32))
     ref = np.asarray(multilevel_roi_align(
         feats, rois, [4, 8, 16, 32], gather_dtype=jnp.bfloat16))
-    got = np.asarray(multilevel_roi_align_pallas(
-        feats, rois, (4, 8, 16, 32), interpret=INTERPRET))
+    got = np.asarray(_f32(multilevel_roi_align_pallas(
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET)))
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)

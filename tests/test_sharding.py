@@ -63,6 +63,36 @@ def test_sharded_predict_matches_single_device(setup):
     assert (g_sh.valid == g_si.valid).mean() > 0.97   # NMS edge tolerance
 
 
+def test_run_inference_uses_mesh_and_pads_ragged_batch(setup):
+    """The eval API (used by tools/test.py) must shard over all visible
+    devices automatically and pad ragged final batches to the mesh size
+    (reference `multi_gpu_test`, `mmdet/apis/test.py:187-308`)."""
+    cfg, det, variables = setup
+    from hrfuser_tpu.apis.test import run_inference
+
+    rng = np.random.default_rng(2)
+
+    def make_batch(n, num_real):
+        return dict(
+            img=rng.normal(0, 1, (n, 64, 96, 3)).astype(np.float32),
+            mod_imgs=[rng.normal(0, 1, (n, 64, 96, 3)).astype(np.float32)
+                      for _ in range(2)],
+            img_shapes=np.tile(np.asarray([[64., 96.]], np.float32),
+                               (n, 1)),
+            scale_factors=np.ones((n, 4), np.float32),
+            num_real=num_real,
+            metas=[{'filename': f'img{i}.jpg'} for i in range(n)],
+        )
+
+    # full batch of 8 + ragged final batch of 3 (padded to 8 internally)
+    loader = [make_batch(8, 8), make_batch(3, 3)]
+    results = run_inference(det, variables, loader, progress=False)
+    assert len(results) == 11
+    for r in results:
+        assert r['boxes'].shape[1:] == (4,)
+        assert np.isfinite(r['scores']).all()
+
+
 def test_sharded_train_step_runs_and_syncs(setup):
     cfg, det, variables = setup
     mesh = make_mesh(8)

@@ -40,6 +40,8 @@ def main():
                     help='rematerialize backbone modules in backward '
                          '(fits larger train batches)')
     ap.add_argument('--pool', choices=['onehot', 'gather'], default=None)
+    ap.add_argument('--bf16', action='store_true',
+                    help='bf16 params/compute (the bench configuration)')
     args = ap.parse_args()
 
     from hrfuser_tpu.configs import get_config
@@ -64,7 +66,8 @@ def main():
                                                pool_method=args.pool))
     cfg = dataclasses.replace(cfg, model=model_cfg)
 
-    det = CascadeRCNN(cfg.model)
+    det = CascadeRCNN(cfg.model,
+                      dtype=jnp.bfloat16 if args.bf16 else None)
     nmod = cfg.model.backbone.num_fused_modalities
     img = jnp.zeros((args.batch, h, w, 3), jnp.float32)
     mods = [jnp.zeros((args.batch, h, w, c), jnp.float32)

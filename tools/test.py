@@ -39,6 +39,10 @@ def parse_args():
     p.add_argument('--img-hw', type=int, nargs=2, default=None,
                    help='override input H W (synthetic mode)')
     p.add_argument('--out', default=None, help='dump metrics json')
+    p.add_argument('--eval', default='bbox', dest='eval_metrics',
+                   help='comma-separated metrics: bbox and/or '
+                        'proposal_fast (reference --eval; '
+                        '`mmdet/datasets/coco.py:331-351,485-486`)')
     p.add_argument('--show-dir', default=None,
                    help='render detections onto the original images and '
                         'write PNGs here (reference --show-dir)')
@@ -117,7 +121,13 @@ def main():
         print('[warn] no --checkpoint: evaluating random weights')
 
     results = run_inference(det, variables, loader)
-    metrics = evaluate(cfg, results, dataset)
+    wanted = [m.strip() for m in args.eval_metrics.split(',') if m.strip()]
+    metrics = {}
+    if 'bbox' in wanted:
+        metrics.update(evaluate(cfg, results, dataset))
+    if 'proposal_fast' in wanted:
+        from hrfuser_tpu.apis.test import evaluate_proposal_recall
+        metrics.update(evaluate_proposal_recall(results, dataset))
     for k, v in metrics.items():
         print(f'{k}: {v:.4f}')
     if args.out:
