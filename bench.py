@@ -8,11 +8,21 @@ Baseline note: the reference repo publishes no throughput numbers
 the PyTorch reference (HRFuser-T cascade inference at 640x384 on the
 reference's CUDA-10.1-era hardware); BASELINE.json's north star is >10x
 that proxy, i.e. vs_baseline >= 10.
+
+Methodology: steady-state streaming throughput. All iterations are
+enqueued back-to-back (the device executes XLA programs serially) and
+EVERY iteration's output is hard-synced to the host afterwards, so the
+measured window covers full execution of every step. Per-step latency
+(sync each step before issuing the next) is reported on stderr with
+--latency. `jax.block_until_ready` is never used for timing: on this
+tunneled TPU platform it returns before execution finishes (see
+`hard_sync`).
 """
 
 import argparse
 import functools
 import json
+import sys
 import time
 
 import jax
@@ -39,16 +49,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--quick', action='store_true',
                     help='small spatial size + fewer iters (CPU smoke)')
-    # batch 24 saturates the chip: per-step wall time has a ~25-30 ms
-    # dispatch-latency floor (tunneled TPU), so throughput scales almost
-    # linearly with batch until HBM runs out (32 OOMs at r640)
-    ap.add_argument('--batch', type=int, default=24)
-    ap.add_argument('--iters', type=int, default=20)
-    ap.add_argument('--bf16', action='store_true',
-                    help='explicit bf16 params/compute (measured slightly '
-                         'slower than f32: XLA already runs f32 matmuls '
-                         'on the MXU in bf16, and the casts add overhead)')
-    ap.add_argument('--pool', choices=['onehot', 'gather'], default=None,
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--iters', type=int, default=30)
+    ap.add_argument('--f32', action='store_true',
+                    help='f32 params/compute (default bf16: measured '
+                         'faster end-to-end with hard sync)')
+    ap.add_argument('--latency', action='store_true',
+                    help='also report per-step latency (sync every step)')
+    ap.add_argument('--pool', choices=['onehot', 'gather', 'pallas'],
+                    default=None,
                     help='override RoIAlign formulation (default: config)')
     args = ap.parse_args()
 
@@ -68,8 +77,9 @@ def main():
     if args.pool:
         model_cfg = dataclasses.replace(
             model_cfg, roi=dataclasses.replace(model_cfg.roi,
-                                               pool_method=args.pool))
-    dtype = jnp.bfloat16 if args.bf16 else None
+                                               pool_method=args.pool,
+                                               pool_method_eval=args.pool))
+    dtype = None if (args.f32 or args.quick) else jnp.bfloat16
     det = CascadeRCNN(model_cfg, dtype=dtype)
     nmod = cfg.model.backbone.num_fused_modalities
     img = jnp.zeros((batch, h, w, 3), jnp.float32)
@@ -83,13 +93,26 @@ def main():
     out = pred(variables, img, mods if nmod else None)
     hard_sync(out)                                 # compile + real sync
 
+    # streaming throughput: enqueue everything, then verify completion
+    # of every step with a host sync
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pred(variables, img, mods if nmod else None)
-        hard_sync(out)
+    outs = [pred(variables, img, mods if nmod else None)
+            for _ in range(iters)]
+    for o in outs:
+        hard_sync(o)
     dt = time.perf_counter() - t0
-
     fps = batch * iters / dt
+
+    if args.latency:
+        ts = []
+        for _ in range(max(iters // 3, 3)):
+            t1 = time.perf_counter()
+            hard_sync(pred(variables, img, mods if nmod else None))
+            ts.append(time.perf_counter() - t1)
+        print(f'[latency] p50={np.median(ts) * 1e3:.1f}ms '
+              f'-> {batch / np.median(ts):.1f} fps synced',
+              file=sys.stderr)
+
     print(json.dumps({
         'metric': 'hrfuser_t_nus_r640_3mod_inference_fps_per_chip',
         'value': round(fps, 2),

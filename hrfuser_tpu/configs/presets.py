@@ -141,6 +141,49 @@ def hrfuser_backbone(channels=(18, 36, 72, 144), heads=(1, 2, 4, 8),
     return apply_stochastic_depth(cfg)
 
 
+def hrfuser_hrnet_backbone(channels=(18, 36, 72, 144), heads=(1, 2, 4, 8),
+                           num_modalities=2, mod_in_channels=(3, 3),
+                           blocks_per_branch=4,
+                           stage_modules=(1, 4, 3),
+                           fusion_drop_path=0.2,
+                           proj_drop_rate=0.1) -> HRBackboneCfg:
+    """HRNet-based HRFuser: BASIC-block conv trunk + MWCA fusion banks.
+
+    Rebuild of `HRFuserHRNetBased`
+    (`mmdet/models/backbones/hrfuser_hrnet_based.py:24-314`): the camera
+    trunk and modality streams are plain HRNet (BASIC residual blocks,
+    nearest-upsample conv fuse), while the fusion blocks are the same
+    transformer MWCA banks as the HRFormer-based variant. Defaults are
+    the HRNet-W18 stage table (`configs/_base_/models/...hrnet` family).
+    """
+    def cam_stage(n_br, nm):
+        return StageCfg(num_modules=nm, num_branches=n_br, block='BASIC',
+                        num_blocks=(blocks_per_branch,) * n_br,
+                        num_channels=channels[:n_br])
+
+    def mod_stage(nm):
+        return StageCfg(num_modules=nm, num_branches=1, block='BASIC',
+                        num_blocks=(blocks_per_branch,),
+                        num_channels=(channels[0],))
+
+    def fusion(n):
+        return FusionCfg(num_branches=n, num_channels=channels[:n],
+                         num_heads=heads[:n], window_sizes=(7,) * n,
+                         mlp_ratios=(4,) * n, drop_path=fusion_drop_path,
+                         proj_drop_rate=proj_drop_rate)
+
+    return HRBackboneCfg(
+        stage1=StageCfg(1, 1, 'BOTTLENECK', (4,), (64,)),
+        stage2=cam_stage(2, stage_modules[0]),
+        stage3=cam_stage(3, stage_modules[1]),
+        stage4=cam_stage(4, stage_modules[2]),
+        stage_a=StageCfg(1, 1, 'BOTTLENECK', (4,), (64,)),
+        stage_b=mod_stage(1), stage_c=mod_stage(1),
+        fusion_a=fusion(2), fusion_b=fusion(3), fusion_c=fusion(4),
+        num_fused_modalities=num_modalities,
+        mod_in_channels=tuple(mod_in_channels))
+
+
 def detector(backbone: HRBackboneCfg, num_classes: int) -> DetectorCfg:
     return DetectorCfg(backbone=backbone,
                        roi=RoIHeadCfg(num_classes=num_classes),
@@ -281,6 +324,38 @@ def _hrfuser_t_nus() -> ExperimentCfg:
         data=_nus_data(),
         schedule=ScheduleCfg(samples_per_device=3),
         optim=OptimCfg(lr=3e-4))
+
+
+@register('cascade_rcnn_hrfuser_hrnet_w18_1x_nus_r640_l_r_fusion')
+def _hrfuser_hrnet_nus() -> ExperimentCfg:
+    """HRNet-based fusion variant (latent in the reference: the
+    `HRFuserHRNetBased` backbone ships without a leaf config)."""
+    return ExperimentCfg(
+        name='cascade_rcnn_hrfuser_hrnet_w18_1x_nus_r640_l_r_fusion',
+        model=detector(hrfuser_hrnet_backbone(), num_classes=10),
+        data=_nus_data(),
+        schedule=ScheduleCfg(samples_per_device=3),
+        optim=OptimCfg(lr=3e-4))
+
+
+@register('tiny_hrnet_fusion_test')
+def _tiny_hrnet_fusion() -> ExperimentCfg:
+    """Miniature HRNet-based fusion model for unit tests."""
+    model = detector(hrfuser_hrnet_backbone(channels=(8, 16, 24, 32),
+                                            heads=(1, 2, 2, 4),
+                                            blocks_per_branch=1,
+                                            stage_modules=(1, 1, 1)),
+                     num_classes=4)
+    model = dataclasses.replace(
+        model,
+        roi=dataclasses.replace(model.roi, num_classes=4,
+                                fc_out_channels=64, max_per_img=20),
+        rpn_test=dataclasses.replace(model.rpn_test, nms_pre=200,
+                                     max_per_img=100),
+        neck_out_channels=32)
+    return ExperimentCfg(
+        name='tiny_hrnet_fusion_test', model=model, data=_nus_data(),
+        schedule=ScheduleCfg(samples_per_device=2), optim=OptimCfg())
 
 
 @register('cascade_rcnn_hrfuser_b_1x_nus_r640_l_r_fusion')

@@ -14,6 +14,38 @@ from flax import linen as nn
 Array = jnp.ndarray
 
 
+class _ChwOrderDense(nn.Module):
+    """Dense over an HWC-flattened RoI feature with a CHW-ordered kernel.
+
+    The param tree/shape is identical to `nn.Dense` with the kernel rows
+    in torch's CHW flatten order (so `.pth`-converted weights load
+    unchanged, `convfc_bbox_head.py` flattens [N, C, 7, 7]). The input is
+    flattened straight from the pool's [N, H, W, C] layout — permuting
+    the 12544-row kernel once per step (~50 MB) replaced a [N, 7, 7, 256]
+    -> [N, 256, 7, 7] activation transpose that cost ~4 ms/step of pure
+    copies at batch 8 x 3 cascade stages.
+    """
+    features: int
+    spatial: Tuple[int, int]
+    channels: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x_hwc_flat: Array) -> Array:
+        h, w = self.spatial
+        c = self.channels
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (c * h * w, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+            x_hwc_flat = x_hwc_flat.astype(self.dtype)
+        k_hwc = kernel.reshape(c, h, w, self.features) \
+            .transpose(1, 2, 0, 3).reshape(c * h * w, self.features)
+        return x_hwc_flat @ k_hwc + bias
+
+
 class Shared2FCBBoxHead(nn.Module):
     num_classes: int
     fc_out_channels: int = 1024
@@ -23,11 +55,10 @@ class Shared2FCBBoxHead(nn.Module):
     @nn.compact
     def __call__(self, roi_feats: Array) -> Tuple[Array, Array]:
         """roi_feats: [N, 7, 7, C] -> (cls_logits [N, C+1], deltas [N, 4])."""
-        n = roi_feats.shape[0]
-        # Torch flattens CHW; transpose so converted FC weights line up.
-        x = roi_feats.transpose(0, 3, 1, 2).reshape(n, -1)
-        x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
-                             name='shared_fc0')(x))
+        n, h, w, c = roi_feats.shape
+        x = nn.relu(_ChwOrderDense(self.fc_out_channels, (h, w), c,
+                                   dtype=self.dtype, name='shared_fc0')(
+            roi_feats.reshape(n, -1)))
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
                              name='shared_fc1')(x))
         cls_logits = nn.Dense(self.num_classes + 1, dtype=self.dtype,

@@ -150,28 +150,42 @@ def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
 
 
 def _kernel(base_ref, wl_ref, flat_ref, wy_ref, wx_ref, out_ref,
-            sx_ref, *, c: int, out_size: int):
+            s_ref, sx_ref, wblk_ref, *, c: int, out_size: int):
     b = pl.program_id(0)
     chunk_i = pl.program_id(1)
+    os8 = 8                                  # q rows per RoI, 8-aligned
+
+    # Block-diagonal x-weights [CHUNK*8, CHUNK*SPAN]: one [7, SPAN]
+    # block per RoI (row r*8+7 stays zero for sublane alignment). The
+    # per-(row, RoI) dots this replaces ran the MXU at M=7 (5% of its
+    # rows); the blocked dot below runs M=64/K=512.
+    wblk_ref[...] = jnp.zeros_like(wblk_ref)
     for r in range(CHUNK):
-        roi = chunk_i * CHUNK + r
-        base = base_ref[b, roi]
-        wl = wl_ref[b, roi]
-        wx_r = wx_ref[0, r]                              # [7, SPAN]
-        wy_r = wy_ref[0, r]
-        # x-pool each window row as it is loaded (stays in VMEM).
-        # base and wl are multiples of 8 by construction (_plan);
-        # Mosaic needs the hint to allow the dynamic vector load.
-        for i in range(SPAN):
-            start = pl.multiple_of(base + i * wl, 8)
-            row = flat_ref[0, pl.ds(start, SPAN), :]     # [SPAN, C]
-            sx_ref[i] = jax.lax.dot_general(
-                wx_r, row, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(sx_ref.dtype)                       # [7(q), C]
-        # y-pool per output column; emit rows directly in (p, q) order
+        wblk_ref[r * os8:r * os8 + out_size,
+                 r * SPAN:(r + 1) * SPAN] = wx_ref[0, r]
+
+    # x-pool: stage all CHUNK RoIs' window row i side by side, then one
+    # [CHUNK*8, CHUNK*SPAN] @ [CHUNK*SPAN, C] dot pools them together.
+    # base and wl are multiples of 8 by construction (_plan); Mosaic
+    # needs the hint to allow the dynamic vector load.
+    for i in range(SPAN):
+        for r in range(CHUNK):
+            roi = chunk_i * CHUNK + r
+            start = pl.multiple_of(base_ref[b, roi] + i * wl_ref[b, roi],
+                                   8)
+            s_ref[r * SPAN:(r + 1) * SPAN, :] = \
+                flat_ref[0, pl.ds(start, SPAN), :]
+        sx_ref[i] = jax.lax.dot_general(
+            wblk_ref[...], s_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(sx_ref.dtype)               # [CHUNK*8 (r, q), C]
+
+    # y-pool per RoI / output column; emit rows in (p, q) order
+    for r in range(CHUNK):
+        wy_r = wy_ref[0, r]                              # [7, SPAN]
         for q in range(out_size):
-            col = sx_ref[:, q, :]                        # [SPAN, C]
+            col = sx_ref[:, r * os8 + q, :]              # [SPAN, C]
             yp = jax.lax.dot_general(
                 wy_r, col,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -204,7 +218,9 @@ def _call(base, wl, flat, wy, wx, bsz, n, c, out_size, interpret):
                 lambda b, i, *_: (b, i, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((SPAN, out_size, c), jnp.bfloat16),
+                pltpu.VMEM((CHUNK * SPAN, c), jnp.bfloat16),
+                pltpu.VMEM((SPAN, CHUNK * 8, c), jnp.bfloat16),
+                pltpu.VMEM((CHUNK * 8, CHUNK * SPAN), jnp.bfloat16),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),

@@ -248,3 +248,32 @@ def test_4mod_heterogeneous_channels_forward():
     out = jax.jit(functools.partial(predict, det))(variables, img, mods)
     assert out.boxes.shape == (1, 10, 4)
     assert np.isfinite(np.asarray(out.boxes)).all()
+
+
+def test_hrnet_based_fusion_forward():
+    """HRNet-based HRFuser variant (BASIC conv trunk + MWCA fusion,
+    reference `hrfuser_hrnet_based.py:24-314`) builds and runs e2e."""
+    cfg = get_config('tiny_hrnet_fusion_test')
+    det = CascadeRCNN(cfg.model)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(0, 1, (1, 64, 96, 3)), jnp.float32)
+    mods = [jnp.asarray(rng.normal(0, 1, (1, 64, 96, 3)), jnp.float32)
+            for _ in range(2)]
+    variables = jax.jit(functools.partial(det.init, train=False))(
+        jax.random.PRNGKey(0), img, mods)
+    feats, cls_scores, _ = det.apply(
+        variables, img, mods, False, method='forward_features')
+    assert [f.shape for f in feats] == [
+        (1, 16, 24, 32), (1, 8, 12, 32), (1, 4, 6, 32), (1, 2, 3, 32),
+        (1, 1, 1, 32)]
+    out = jax.jit(functools.partial(predict, det))(variables, img, mods)
+    assert np.isfinite(np.asarray(out.boxes)).all()
+
+
+def test_hrnet_w18_fusion_preset_resolves():
+    cfg = get_config('cascade_rcnn_hrfuser_hrnet_w18_1x_nus_r640_l_r_fusion')
+    b = cfg.model.backbone
+    assert b.stage4.block == 'BASIC'
+    assert b.stage4.num_channels == (18, 36, 72, 144)
+    assert b.stage3.num_modules == 4 and b.stage4.num_modules == 3
+    assert b.fusion_c is not None and b.num_fused_modalities == 2
