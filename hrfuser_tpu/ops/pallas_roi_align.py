@@ -56,7 +56,13 @@ Array = jnp.ndarray
 # by 28 * sqrt(aspect_ratio), so 64 covers aspect ratios up to ~3.9;
 # wider boxes (rare) take the exact gather fallback (see FALLBACK).
 SPAN = 64
-CHUNK = 8          # RoIs per grid step
+# RoIs per grid step. The block-diagonal x-pool issues CHUNK*8/7 x the
+# useful flops (each RoI's staged rows pass through every RoI's weight
+# block), so smaller chunks waste fewer MXU cycles but run more grid
+# steps. Traced on v5e (8x1000 RoIs, r640 pyramid): 12.95 ms at 8,
+# 11.60 ms at 4 -> the kernel is VMEM-load-bound, not dot-bound; 4 is
+# the default. Env override for tuning.
+CHUNK = int(__import__('os').environ.get('HRFUSER_ROI_CHUNK', '4'))
 # Widest RoIs routed through the exact gather path. The gather
 # formulation costs ~0.3 ms per RoI-row across the 3 cascade stages at
 # batch 8 (measured: 36 ms/step at 128), so the budget is deliberately
