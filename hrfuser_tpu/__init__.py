@@ -12,6 +12,28 @@ import os as _os
 from hrfuser_tpu.version import __version__  # noqa: F401
 
 
+def _honor_platform_env():
+    """Make `JAX_PLATFORMS=cpu` actually work on this host.
+
+    The tunneled TPU plugin ('axon') ignores the JAX_PLATFORMS env var and
+    initializes anyway — and hangs for minutes when the tunnel is down.
+    Only `jax.config.update('jax_platforms', ...)` before first backend
+    use reliably selects the platform, so mirror the env var into the
+    config here (every CLI/tool imports this package before touching a
+    device).
+    """
+    plat = _os.environ.get('JAX_PLATFORMS')
+    if not plat:
+        return
+    try:
+        import jax
+        if getattr(jax.config, 'jax_platforms', None):
+            return      # someone (e.g. tests/conftest.py) already chose
+        jax.config.update('jax_platforms', plat)
+    except Exception:                                    # pragma: no cover
+        pass
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache (opt out: HRFUSER_NO_JAX_CACHE=1).
 
@@ -19,6 +41,10 @@ def _enable_compilation_cache():
     minutes to compile; caching amortizes that across processes (tests,
     tools, bench)."""
     if _os.environ.get('HRFUSER_NO_JAX_CACHE'):
+        return
+    if _os.environ.get('JAX_PLATFORMS', '').strip().lower() == 'cpu':
+        # never cache on CPU: this jaxlib's CPU AOT loader rejects its own
+        # cached executables (spurious machine-feature mismatch -> abort)
         return
     try:
         import jax
@@ -32,4 +58,5 @@ def _enable_compilation_cache():
         pass
 
 
+_honor_platform_env()
 _enable_compilation_cache()
