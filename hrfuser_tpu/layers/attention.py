@@ -23,13 +23,45 @@ from typing import Any, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hrfuser_tpu.layers.common import (BatchNorm, DepthwiseConv3x3,
-                                       DropPath, LayerNorm, torch_pad)
+from hrfuser_tpu.layers.common import (BatchNorm, ConvCF1x1, DenseCF,
+                                       DepthwiseConv3x3, DropPath, LayerNorm,
+                                       torch_pad)
 from hrfuser_tpu.ops.window import (relative_position_index, window_partition,
-                                    window_reverse)
+                                    window_partition_cf, window_reverse,
+                                    window_reverse_cf)
 
 Array = jnp.ndarray
 Dtype = Any
+
+
+def _lane_util(n: int) -> float:
+    """Fraction of 128-wide lane tiles a minor dim of size n fills."""
+    return n / (-(-n // 128) * 128)
+
+
+def prefer_cf(h: int, w: int, c: int) -> bool:
+    """Decide NHWC vs channels-first for an [B, h, w, c] block chain.
+
+    TPU vector tiles are (8 sublanes, 128 lanes) over the two minor dims.
+    NHWC puts C in lanes — at HRFuser branch-0 widths (C=18) elementwise
+    chains run at 18/128 = 14% lane utilization (measured: ~1/3 of the
+    r640 inference step). Channels-first puts W in lanes and H in
+    sublanes. Pick whichever fills the vector tile better, with a 1.5x
+    margin so the two boundary transposes per block chain are paid only
+    when the win is real.
+    """
+    util_nhwc = _lane_util(c) * min(w / (-(-w // 8) * 8), 1.0)
+    util_cf = _lane_util(w) * min(h / (-(-h // 8) * 8), 1.0)
+    return util_cf > 1.5 * util_nhwc
+
+
+def resolve_layout(mode: str, h: int, w: int, c: int) -> str:
+    """Map a config knob ('off' | 'auto' | 'on') to a concrete layout."""
+    if mode == 'on':
+        return 'cf'
+    if mode == 'auto' and prefer_cf(h, w, c):
+        return 'cf'
+    return 'nhwc'
 
 
 class RelativePositionBias(nn.Module):
@@ -67,6 +99,27 @@ def _window_attention(q: Array, k: Array, v: Array, num_heads: int,
     return out.transpose(0, 2, 1, 3).reshape(b, n, c)
 
 
+def _window_attention_cf(q: Array, k: Array, v: Array, num_heads: int,
+                         bias: Optional[Array], scale: float) -> Array:
+    """Channels-first windowed attention. q/k/v: [B_, C, N] -> [B_, C, N].
+
+    Same math as `_window_attention` with the token axis minor; the
+    [N, N] logits/softmax keep 49 tokens in lanes instead of a small C.
+    """
+    b, c, n = q.shape
+    hd = c // num_heads
+    q = q.reshape(b, num_heads, hd, n)
+    k = k.reshape(b, num_heads, hd, n)
+    v = v.reshape(b, num_heads, hd, n)
+    attn = jnp.einsum('bhdn,bhdm->bhnm', q * scale, k,
+                      preferred_element_type=jnp.float32)
+    if bias is not None:
+        attn = attn + bias[None]
+    attn = nn.softmax(attn, axis=-1).astype(v.dtype)
+    out = jnp.einsum('bhnm,bhdm->bhdn', attn, v)
+    return out.reshape(b, c, n)
+
+
 class LocalWindowSelfAttention(nn.Module):
     """LSA: center-pad window partition + fused-qkv window MHSA + RPE.
 
@@ -78,18 +131,30 @@ class LocalWindowSelfAttention(nn.Module):
     qkv_bias: bool = True
     with_rpe: bool = True
     proj_drop: float = 0.0
+    layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        b, h, w, c = x.shape
         ws = self.window_size
+        bias = (RelativePositionBias(ws, self.num_heads, name='rpe')()
+                if self.with_rpe else None)
+        if self.layout == 'cf':
+            b, c, h, w = x.shape
+            wins = window_partition_cf(x, ws, ws)        # [B*nW, C, ws*ws]
+            qkv = DenseCF(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                          name='qkv')(wins)
+            q, k, v = jnp.split(qkv, 3, axis=1)
+            scale = (c // self.num_heads) ** -0.5
+            out = _window_attention_cf(q, k, v, self.num_heads, bias, scale)
+            out = DenseCF(c, dtype=self.dtype, name='out_proj')(out)
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            return window_reverse_cf(out, b, h, w, ws, ws)
+        b, h, w, c = x.shape
         wins = window_partition(x, ws, ws)               # [B*nW, ws*ws, C]
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name='qkv')(wins)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        bias = (RelativePositionBias(ws, self.num_heads, name='rpe')()
-                if self.with_rpe else None)
         scale = (c // self.num_heads) ** -0.5
         out = _window_attention(q, k, v, self.num_heads, bias, scale)
         out = nn.Dense(c, dtype=self.dtype, name='out_proj')(out)
@@ -108,13 +173,31 @@ class MultiWindowCrossAttention(nn.Module):
     qkv_bias: bool = True
     with_rpe: bool = True
     proj_drop: float = 0.0
+    layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, y: Array,
                  deterministic: bool = True) -> Array:
-        b, h, w, c = x.shape
         ws = self.window_size
+        bias = (RelativePositionBias(ws, self.num_heads, name='rpe')()
+                if self.with_rpe else None)
+        if self.layout == 'cf':
+            b, c, h, w = x.shape
+            xw = window_partition_cf(x, ws, ws)
+            yw = window_partition_cf(y, ws, ws)
+            q = DenseCF(c, use_bias=self.qkv_bias, dtype=self.dtype,
+                        name='q_proj')(xw)
+            k = DenseCF(c, use_bias=self.qkv_bias, dtype=self.dtype,
+                        name='k_proj')(yw)
+            v = DenseCF(c, use_bias=self.qkv_bias, dtype=self.dtype,
+                        name='v_proj')(yw)
+            scale = (c // self.num_heads) ** -0.5
+            out = _window_attention_cf(q, k, v, self.num_heads, bias, scale)
+            out = DenseCF(c, dtype=self.dtype, name='out_proj')(out)
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            return window_reverse_cf(out, b, h, w, ws, ws)
+        b, h, w, c = x.shape
         xw = window_partition(x, ws, ws)
         yw = window_partition(y, ws, ws)
         q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -123,8 +206,6 @@ class MultiWindowCrossAttention(nn.Module):
                      name='k_proj')(yw)
         v = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
                      name='v_proj')(yw)
-        bias = (RelativePositionBias(ws, self.num_heads, name='rpe')()
-                if self.with_rpe else None)
         scale = (c // self.num_heads) ** -0.5
         out = _window_attention(q, k, v, self.num_heads, bias, scale)
         out = nn.Dense(c, dtype=self.dtype, name='out_proj')(out)
@@ -138,18 +219,28 @@ class CrossFFN(nn.Module):
     is why HRFormer needs no positional encoding beyond the window RPE."""
     hidden: int
     out: int
+    layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        x = nn.Conv(self.hidden, (1, 1), dtype=self.dtype, name='fc1')(x)
-        x = BatchNorm(dtype=self.dtype, name='norm1')(x, train)
+        cf = self.layout == 'cf'
+        ax = 1 if cf else -1
+        if cf:
+            x = ConvCF1x1(self.hidden, dtype=self.dtype, name='fc1')(x)
+        else:
+            x = nn.Conv(self.hidden, (1, 1), dtype=self.dtype, name='fc1')(x)
+        x = BatchNorm(axis=ax, dtype=self.dtype, name='norm1')(x, train)
         x = nn.gelu(x, approximate=False)
-        x = DepthwiseConv3x3(self.hidden, dtype=self.dtype, name='dw')(x)
-        x = BatchNorm(dtype=self.dtype, name='norm2')(x, train)
+        x = DepthwiseConv3x3(self.hidden, layout=self.layout,
+                             dtype=self.dtype, name='dw')(x)
+        x = BatchNorm(axis=ax, dtype=self.dtype, name='norm2')(x, train)
         x = nn.gelu(x, approximate=False)
-        x = nn.Conv(self.out, (1, 1), dtype=self.dtype, name='fc2')(x)
-        x = BatchNorm(dtype=self.dtype, name='norm3')(x, train)
+        if cf:
+            x = ConvCF1x1(self.out, dtype=self.dtype, name='fc2')(x)
+        else:
+            x = nn.Conv(self.out, (1, 1), dtype=self.dtype, name='fc2')(x)
+        x = BatchNorm(axis=ax, dtype=self.dtype, name='norm3')(x, train)
         return nn.gelu(x, approximate=False)
 
 
@@ -163,20 +254,23 @@ class HRFormerBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     proj_drop: float = 0.0
+    layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        c = x.shape[-1]
+        ax = 1 if self.layout == 'cf' else -1
+        c = x.shape[ax]
         det = not train
-        h = LayerNorm(epsilon=1e-6, name='norm1')(x)
+        h = LayerNorm(epsilon=1e-6, axis=ax, name='norm1')(x)
         h = LocalWindowSelfAttention(self.num_heads, self.window_size,
                                      proj_drop=self.proj_drop,
+                                     layout=self.layout,
                                      dtype=self.dtype, name='attn')(h, det)
         x = x + DropPath(self.drop_path, name='drop_path1')(h, det)
-        h = LayerNorm(epsilon=1e-6, name='norm2')(x)
-        h = CrossFFN(int(c * self.mlp_ratio), c, dtype=self.dtype,
-                     name='ffn')(h, train)
+        h = LayerNorm(epsilon=1e-6, axis=ax, name='norm2')(x)
+        h = CrossFFN(int(c * self.mlp_ratio), c, layout=self.layout,
+                     dtype=self.dtype, name='ffn')(h, train)
         x = x + DropPath(self.drop_path, name='drop_path2')(h, det)
         return x
 
@@ -199,24 +293,27 @@ class HRFuserFusionBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     proj_drop: float = 0.0
+    layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, mods: List[Array], train: bool) -> Array:
         assert len(mods) == self.num_modalities
-        c = x.shape[-1]
+        ax = 1 if self.layout == 'cf' else -1
+        c = x.shape[ax]
         det = not train
         x_tmp = x
         for k in range(self.num_modalities):
             z = mods[k]
-            q = LayerNorm(epsilon=1e-6, name=f'norm1_{k}')(x_tmp)
-            kv = LayerNorm(epsilon=1e-6, name=f'norm2_{k}')(z)
+            q = LayerNorm(epsilon=1e-6, axis=ax, name=f'norm1_{k}')(x_tmp)
+            kv = LayerNorm(epsilon=1e-6, axis=ax, name=f'norm2_{k}')(z)
             a = MultiWindowCrossAttention(
                 self.num_heads, self.window_size, proj_drop=self.proj_drop,
+                layout=self.layout,
                 dtype=self.dtype, name=f'attn_{k}')(q, kv, det)
             x = x + z + DropPath(self.drop_path, name=f'drop_path_{k}')(a, det)
-        h = LayerNorm(epsilon=1e-6, name='norm3')(x)
-        h = CrossFFN(int(c * self.mlp_ratio), c, dtype=self.dtype,
-                     name='ffn')(h, train)
+        h = LayerNorm(epsilon=1e-6, axis=ax, name='norm3')(x)
+        h = CrossFFN(int(c * self.mlp_ratio), c, layout=self.layout,
+                     dtype=self.dtype, name='ffn')(h, train)
         x = x + DropPath(self.drop_path, name='drop_path_ffn')(h, det)
         return x

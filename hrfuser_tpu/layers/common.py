@@ -31,9 +31,15 @@ def torch_pad(k: int) -> Sequence[Tuple[int, int]]:
 
 
 class BatchNorm(nn.Module):
-    """Torch-compatible BatchNorm2d (NHWC, channel-last)."""
+    """Torch-compatible BatchNorm2d.
+
+    `axis` selects the feature axis (-1 for NHWC, 1 for the channels-first
+    fast path); parameter/batch-stat shapes are `(C,)` either way, so the
+    two layouts share checkpoints.
+    """
     momentum: float = 0.9
     epsilon: float = 1e-5
+    axis: int = -1
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -42,6 +48,7 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
+            axis=self.axis,
             dtype=self.dtype,
             name='bn')(x)
 
@@ -91,6 +98,7 @@ class DepthwiseConv3x3(nn.Module):
     features: int
     stride: int = 1
     use_bias: bool = True
+    layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W])
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -101,6 +109,20 @@ class DepthwiseConv3x3(nn.Module):
                             (3, 3, 1, c), jnp.float32)
         dt = self.dtype or x.dtype
         k = kernel.astype(dt)
+        bias = (self.param('bias', nn.initializers.zeros, (c,),
+                           jnp.float32).astype(dt) if self.use_bias else None)
+        if self.layout == 'cf':
+            xp = jnp.pad(x.astype(dt), ((0, 0), (0, 0), (1, 1), (1, 1)))
+            h, w = x.shape[2], x.shape[3]
+            oh, ow = (h - 1) // s + 1, (w - 1) // s + 1
+            y = None
+            for dy in range(3):
+                for dx in range(3):
+                    t = xp[:, :, dy:dy + s * (oh - 1) + 1:s,
+                           dx:dx + s * (ow - 1) + 1:s] \
+                        * k[dy, dx, 0][None, :, None, None]
+                    y = t if y is None else y + t
+            return y if bias is None else y + bias[None, :, None, None]
         xp = jnp.pad(x.astype(dt), ((0, 0), (1, 1), (1, 1), (0, 0)))
         h, w = x.shape[1], x.shape[2]
         oh, ow = (h - 1) // s + 1, (w - 1) // s + 1
@@ -110,9 +132,62 @@ class DepthwiseConv3x3(nn.Module):
                 t = xp[:, dy:dy + s * (oh - 1) + 1:s,
                        dx:dx + s * (ow - 1) + 1:s, :] * k[dy, dx, 0]
                 y = t if y is None else y + t
+        return y if bias is None else y + bias
+
+
+class DenseCF(nn.Module):
+    """`nn.Dense` over axis 1 of a channels-first array.
+
+    Parameter names/shapes (`kernel` [in, out], `bias` [out]) are identical
+    to `nn.Dense`, so a module tree may freely mix the NHWC and CF
+    formulations per call site and share one checkpoint. Accepts
+    [B, C, N] or [B, C, H, W]; output keeps features at axis 1 — the TPU
+    point of the layout: lane tiles stay on the (large) spatial minor axis
+    instead of a small C.
+    """
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (c, self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        eq = 'bcn,cd->bdn' if x.ndim == 3 else 'bchw,cd->bdhw'
+        y = jnp.einsum(eq, x.astype(dt), kernel.astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
         if self.use_bias:
-            y = y + self.param('bias', nn.initializers.zeros, (c,),
-                               jnp.float32).astype(dt)
+            bias = self.param('bias', nn.initializers.zeros,
+                              (self.features,), jnp.float32).astype(dt)
+            y = y + bias.reshape((1, -1) + (1,) * (x.ndim - 2))
+        return y
+
+
+class ConvCF1x1(nn.Module):
+    """1x1 `nn.Conv` on a channels-first [B, C, H, W] array.
+
+    Parameter names/shapes (`kernel` [1, 1, in, out], `bias` [out]) match
+    `nn.Conv(features, (1, 1))` so checkpoints are layout-agnostic.
+    """
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (1, 1, c, self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        y = jnp.einsum('bchw,cd->bdhw', x.astype(dt),
+                       kernel[0, 0].astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros,
+                              (self.features,), jnp.float32).astype(dt)
+            y = y + bias[None, :, None, None]
         return y
 
 
@@ -131,19 +206,23 @@ class LayerNorm(nn.Module):
     an exactly-zero gradient instead.
     """
     epsilon: float = 1e-6
+    axis: int = -1                       # feature axis (1 for CF layout)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        c = x.shape[-1]
+        ax = self.axis % x.ndim
+        c = x.shape[ax]
         scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        bshape = [1] * x.ndim
+        bshape[ax] = c
         xf = x.astype(jnp.float32)
-        mean = xf.mean(axis=-1, keepdims=True)
+        mean = xf.mean(axis=ax, keepdims=True)
         centered = xf - mean
-        var = (centered * centered).mean(axis=-1, keepdims=True)
+        var = (centered * centered).mean(axis=ax, keepdims=True)
         inv = jnp.where(var > 0.0, jax.lax.rsqrt(var + self.epsilon), 0.0)
-        y = centered * inv * scale + bias
+        y = centered * inv * scale.reshape(bshape) + bias.reshape(bshape)
         return y.astype(self.dtype or x.dtype)
 
 

@@ -69,6 +69,11 @@ class HRBackboneCfg:
     # rematerialize each HRModule / fusion block in backward (activation
     # memory ~halves; enables larger per-chip train batches)
     remat: bool = False
+    # Channels-first execution of HRFormer/fusion block chains on branches
+    # where a small C would waste TPU vector lanes ('auto' decides per
+    # branch from static shapes; see `layers.attention.prefer_cf`).
+    # Checkpoint-compatible either way: both layouts share parameters.
+    cf_layout: str = 'auto'                  # 'off' | 'auto' | 'on'
 
     @property
     def pre_neck_fusion(self) -> bool:

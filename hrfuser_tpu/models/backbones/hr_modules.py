@@ -13,7 +13,7 @@ from typing import Any, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hrfuser_tpu.layers.attention import HRFormerBlock
+from hrfuser_tpu.layers.attention import HRFormerBlock, resolve_layout
 from hrfuser_tpu.layers.common import (ConvNorm, ResLayer, bilinear_resize,
                                        nearest_up)
 from hrfuser_tpu.models.backbones.hr_config import StageCfg
@@ -145,6 +145,7 @@ class HRModule(nn.Module):
     in_channels: tuple
     multiscale_output: bool = True
     module_index: int = 0                    # for the drop-path schedule
+    cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -161,6 +162,10 @@ class HRModule(nn.Module):
             if is_former:
                 nblk = s.num_blocks[i]
                 base = self.module_index * s.num_blocks[0]
+                b, h, w, c = x.shape
+                layout = resolve_layout(self.cf_layout, h, w, c)
+                if layout == 'cf':
+                    x = x.transpose(0, 3, 1, 2)          # NHWC -> [B,C,H,W]
                 for j in range(nblk):
                     rates = s.drop_path_rates
                     dp = rates[base + j] if base + j < len(rates) else rates[-1]
@@ -168,8 +173,10 @@ class HRModule(nn.Module):
                         num_heads=s.num_heads[i],
                         window_size=s.window_sizes[i],
                         mlp_ratio=s.mlp_ratios[i],
-                        drop_path=dp, dtype=self.dtype,
+                        drop_path=dp, layout=layout, dtype=self.dtype,
                         name=f'branch{i}_block{j}')(x, train)
+                if layout == 'cf':
+                    x = x.transpose(0, 2, 3, 1)          # back to NHWC
             else:
                 x = ResLayer(s.block, s.num_channels[i], s.num_blocks[i],
                              self.in_channels[i], dtype=self.dtype,
@@ -209,6 +216,7 @@ class HRStage(nn.Module):
     in_channels: tuple
     multiscale_output: bool = True
     remat: bool = False
+    cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -221,7 +229,8 @@ class HRStage(nn.Module):
                    else HRModule)
         for m in range(s.num_modules):
             ms_out = self.multiscale_output or m < s.num_modules - 1
-            xs = mod_cls(s, chans, ms_out, module_index=m, dtype=self.dtype,
+            xs = mod_cls(s, chans, ms_out, module_index=m,
+                         cf_layout=self.cf_layout, dtype=self.dtype,
                          name=f'module{m}')(xs, train)
             chans = s.out_channels
         return xs

@@ -24,7 +24,7 @@ from typing import Any, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hrfuser_tpu.layers.attention import HRFuserFusionBlock
+from hrfuser_tpu.layers.attention import HRFuserFusionBlock, resolve_layout
 from hrfuser_tpu.layers.common import ConvNorm, ResLayer
 from hrfuser_tpu.models.backbones.hr_config import (FusionCfg, HRBackboneCfg,
                                                     StageCfg)
@@ -40,6 +40,7 @@ class FusionBank(nn.Module):
     fusion: FusionCfg
     num_modalities: int
     remat: bool = False
+    cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -50,15 +51,25 @@ class FusionBank(nn.Module):
                    if self.remat else HRFuserFusionBlock)
         out = []
         for i in range(f.num_branches):
-            out.append(blk_cls(
+            x, ms = xs[i], mods[i]
+            b, h, w, c = x.shape
+            layout = resolve_layout(self.cf_layout, h, w, c)
+            if layout == 'cf':
+                x = x.transpose(0, 3, 1, 2)
+                ms = [m.transpose(0, 3, 1, 2) for m in ms]
+            y = blk_cls(
                 num_heads=f.num_heads[i],
                 num_modalities=self.num_modalities,
                 window_size=f.window_sizes[i],
                 mlp_ratio=f.mlp_ratios[i],
                 drop_path=f.drop_path,
                 proj_drop=f.proj_drop_rate,
+                layout=layout,
                 dtype=self.dtype,
-                name=f'branch{i}')(xs[i], mods[i], train))
+                name=f'branch{i}')(x, ms, train)
+            if layout == 'cf':
+                y = y.transpose(0, 2, 3, 1)
+            out.append(y)
         return out
 
 
@@ -67,6 +78,7 @@ class ModalityStage(nn.Module):
     stage: StageCfg
     num_modalities: int
     remat: bool = False
+    cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -74,7 +86,7 @@ class ModalityStage(nn.Module):
         out = []
         for k in range(self.num_modalities):
             y = HRStage(self.stage, self.stage.out_channels,
-                        remat=self.remat,
+                        remat=self.remat, cf_layout=self.cf_layout,
                         dtype=self.dtype, name=f'mod{k}')([feats[k]], train)
             out.append(y[0])
         return out
@@ -136,12 +148,14 @@ class HRFuserBackbone(nn.Module):
         m_br = ModalityTransition(stage_a_out, cfg.fusion_a.num_channels, nm,
                                   dtype=self.dtype,
                                   name='transition_a')(mods, train)
-        xs = FusionBank(cfg.fusion_a, nm, remat=cfg.remat, dtype=self.dtype,
+        xs = FusionBank(cfg.fusion_a, nm, remat=cfg.remat,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                         name='fusion_a')(xs, m_br, train)
         ys = HRStage(cfg.stage2, cfg.stage2.out_channels, remat=cfg.remat,
-                     dtype=self.dtype,
+                     cf_layout=cfg.cf_layout, dtype=self.dtype,
                      name='stage2')(xs, train)
-        mods = ModalityStage(cfg.stage_b, nm, remat=cfg.remat, dtype=self.dtype,
+        mods = ModalityStage(cfg.stage_b, nm, remat=cfg.remat,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                              name='stage_b')(m_br[0], train)
 
         # ---- stage 3 (+ fusion B, modality stage C) ----
@@ -151,12 +165,14 @@ class HRFuserBackbone(nn.Module):
                                   cfg.fusion_b.num_channels, nm,
                                   dtype=self.dtype,
                                   name='transition_b')(mods, train)
-        xs = FusionBank(cfg.fusion_b, nm, remat=cfg.remat, dtype=self.dtype,
+        xs = FusionBank(cfg.fusion_b, nm, remat=cfg.remat,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                         name='fusion_b')(xs, m_br, train)
         ys = HRStage(cfg.stage3, cfg.stage3.out_channels, remat=cfg.remat,
-                     dtype=self.dtype,
+                     cf_layout=cfg.cf_layout, dtype=self.dtype,
                      name='stage3')(xs, train)
-        mods = ModalityStage(cfg.stage_c, nm, remat=cfg.remat, dtype=self.dtype,
+        mods = ModalityStage(cfg.stage_c, nm, remat=cfg.remat,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                              name='stage_c')(m_br[0], train)
 
         # ---- stage 4 (+ fusion C) ----
@@ -166,21 +182,24 @@ class HRFuserBackbone(nn.Module):
                                   cfg.fusion_c.num_channels, nm,
                                   dtype=self.dtype,
                                   name='transition_c')(mods, train)
-        xs = FusionBank(cfg.fusion_c, nm, remat=cfg.remat, dtype=self.dtype,
+        xs = FusionBank(cfg.fusion_c, nm, remat=cfg.remat,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                         name='fusion_c')(xs, m_br, train)
         ys = HRStage(cfg.stage4, cfg.stage4.out_channels, remat=cfg.remat,
-                     dtype=self.dtype,
+                     cf_layout=cfg.cf_layout, dtype=self.dtype,
                      name='stage4')(xs, train)
 
         # ---- optional modality stage D + pre-neck fusion ----
         if cfg.pre_neck_fusion:
-            mods = ModalityStage(cfg.stage_d, nm, remat=cfg.remat, dtype=self.dtype,
+            mods = ModalityStage(cfg.stage_d, nm, remat=cfg.remat,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                                  name='stage_d')(m_br[0], train)
             m_br = ModalityTransition(cfg.stage_d.out_channels,
                                       cfg.fusion_d.num_channels, nm,
                                       dtype=self.dtype,
                                       name='transition_d')(mods, train)
-            xs = FusionBank(cfg.fusion_d, nm, remat=cfg.remat, dtype=self.dtype,
+            xs = FusionBank(cfg.fusion_d, nm, remat=cfg.remat,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                             name='fusion_d')(ys, m_br, train)
             ys = [nn.relu(v) for v in xs]
         return ys

@@ -50,6 +50,33 @@ def window_reverse(windows: Array, b: int, h: int, w: int,
     return x[:, pt:pt + h, pl:pl + w, :]
 
 
+def window_partition_cf(x: Array, wh: int, ww: int) -> Array:
+    """[B, C, H, W] -> [B * nWh * nWw, C, Wh * Ww] with center padding.
+
+    Channels-first twin of `window_partition`: the token axis stays minor
+    so lane tiles hold spatial positions rather than a (often tiny) C.
+    """
+    b, c, h, w = x.shape
+    pt, pb, pl, pr = center_pad_shape(h, w, wh, ww)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+    hp, wp = h + pt + pb, w + pl + pr
+    x = x.reshape(b, c, hp // wh, wh, wp // ww, ww)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(-1, c, wh * ww)
+
+
+def window_reverse_cf(windows: Array, b: int, h: int, w: int,
+                      wh: int, ww: int) -> Array:
+    """Inverse of `window_partition_cf`, returning [B, C, H, W]."""
+    pt, pb, pl, pr = center_pad_shape(h, w, wh, ww)
+    hp, wp = h + pt + pb, w + pl + pr
+    c = windows.shape[1]
+    x = windows.reshape(b, hp // wh, wp // ww, c, wh, ww)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    x = x.reshape(b, c, hp, wp)
+    return x[:, :, pt:pt + h, pl:pl + w]
+
+
 def window_pad_mask(h: int, w: int, wh: int, ww: int) -> Array:
     """Additive (-inf on padded tokens) attention mask, [nW, Wh*Ww].
 

@@ -40,6 +40,10 @@ def parse_args():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--synthetic', action='store_true',
                    help='random data (pipeline smoke / benchmarking)')
+    p.add_argument('--overfit-check', action='store_true',
+                   help='with --synthetic: train on ONE fixed batch and '
+                        'assert the loss decreases (convergence smoke; '
+                        'exit 1 on failure)')
     p.add_argument('--max-iters', type=int, default=None)
     p.add_argument('--log-interval', type=int, default=50)
     p.add_argument('--ckpt-interval-epochs', type=int, default=1)
@@ -129,7 +133,8 @@ def main():
         loader = None
         batches = synthetic_batches(cfg, batch_size,
                                     tuple(args.img_hw) if args.img_hw
-                                    else None)
+                                    else None,
+                                    pool=1 if args.overfit_check else 4)
         steps_per_epoch = 100
     else:
         from hrfuser_tpu.data.loader import DetDataLoader
@@ -215,6 +220,7 @@ def main():
             while True:
                 yield from loader
 
+    loss_history = []
     for batch in batch_iter():
         if it >= total_iters:
             break
@@ -227,6 +233,7 @@ def main():
         it += 1
         if it % args.log_interval == 0 or it == total_iters:
             m = {k: float(v) for k, v in metrics.items()}
+            loss_history.append(m['loss'])
             dt = time.time() - t_log
             t_log = time.time()
             ips = args.log_interval * batch_size / max(dt, 1e-6)
@@ -250,6 +257,24 @@ def main():
                     meta=dict(config=cfg.name,
                               classes=list(cfg.data.classes)))
     print(f'[done] {it} iters; final checkpoint in {work_dir}')
+
+    if args.overfit_check:
+        # Convergence smoke (VERDICT r1 #7): on one fixed batch the loss
+        # must fall decisively. Compare the mean of the last quarter of
+        # logged losses against the first logged loss — per-step noise
+        # (random sampler quotas) makes strict monotonicity too brittle.
+        if len(loss_history) < 2:
+            raise SystemExit('[overfit-check] need >= 2 logged losses '
+                             '(lower --log-interval or raise --max-iters)')
+        first = loss_history[0]
+        tail = loss_history[-max(1, len(loss_history) // 4):]
+        last = float(np.mean(tail))
+        ok = last < 0.7 * first
+        print(f'[overfit-check] first={first:.4f} last_quarter_mean='
+              f'{last:.4f} ratio={last / first:.3f} '
+              f'-> {"PASS" if ok else "FAIL"}')
+        if not ok:
+            raise SystemExit(1)
 
 
 if __name__ == '__main__':
