@@ -17,13 +17,16 @@ This kernel never leaves VMEM between sampling and pooling:
     per-axis one-hot weight strips Wy/Wx [7, S] RELATIVE to the window
     origin are precomputed with plain jnp (S = 64 covers every RoI
     span the level router can produce — see `_plan`).
-  * Per RoI the kernel makes S dynamic row-loads (S consecutive flat
-    rows = the x-window of one feature row), x-pools each with a small
-    MXU dot, and y-pools per output column:
-        for i < S:   sx[i] = Wx[7, S] @ row_i[S, C]     # [7(q), C]
+  * Per RoI the kernel makes `ny` dynamic row-loads (S consecutive
+    flat rows = the x-window of one feature row), where ny <= S is the
+    RoI's true y-tap extent (most proposals span ~10-30 rows, not 64 —
+    staging loads are ~90% of kernel VMEM traffic, so the dynamic trip
+    count is the main lever), x-pools each with a small MXU dot, and
+    y-pools per output column:
+        for i < ny:  sx[i] = Wx[7, S] @ row_i[S, C]     # [7(q), C]
         for q < 7:   out[p*7+q] = (Wy[7, S] @ sx[:, q, :])[p]
     Off-window / off-level taps carry zero weight, so garbage rows
-    (level wrap-around, padding) contribute nothing.
+    (level wrap-around, padding, stale i >= ny) contribute nothing.
   * Output rows are emitted directly in (p, q) order and in bf16, so
     the consumer's [N, 7, 7, C] view needs no transpose or cast — the
     f32 (q, p)-ordered variant cost ~4 ms/step of pure layout copies
@@ -56,12 +59,10 @@ Array = jnp.ndarray
 # by 28 * sqrt(aspect_ratio), so 64 covers aspect ratios up to ~3.9;
 # wider boxes (rare) take the exact gather fallback (see FALLBACK).
 SPAN = 64
-# RoIs per grid step. The block-diagonal x-pool issues CHUNK*8/7 x the
-# useful flops (each RoI's staged rows pass through every RoI's weight
-# block), so smaller chunks waste fewer MXU cycles but run more grid
-# steps. Traced on v5e (8x1000 RoIs, r640 pyramid): 12.95 ms at 8,
-# 11.60 ms at 4 -> the kernel is VMEM-load-bound, not dot-bound; 4 is
-# the default. Env override for tuning.
+# RoIs per grid step. The kernel is VMEM-load-bound (traced on v5e,
+# 8x1000 RoIs, r640 pyramid: 12.95 ms at CHUNK 8 vs 11.60 ms at 4 for
+# the dense-row variant), so the chunk mainly sizes the sx scratch and
+# the weight-block prefetch. Env override for tuning.
 CHUNK = int(__import__('os').environ.get('HRFUSER_ROI_CHUNK', '4'))
 # Widest RoIs routed through the exact gather path. The gather
 # formulation costs ~0.3 ms per RoI-row across the 3 cascade stages at
@@ -78,7 +79,9 @@ def _axis_strip(start, bin_size, size, origin, out_size, sample_num,
 
     Same sampling math as `roi_align._axis_onehot` (static grid), but
     the one-hot columns index into the RoI's SPAN-wide window instead
-    of the full axis.
+    of the full axis. Also returns the per-RoI count of window rows
+    actually carrying weight (`n_rows` [N] int32 in [1, SPAN]) so the
+    kernel can stop staging at the RoI's true extent.
     """
     g = sample_num
     s = (jnp.arange(g, dtype=start.dtype) + 0.5) / g
@@ -100,7 +103,9 @@ def _axis_strip(start, bin_size, size, origin, out_size, sample_num,
     one_lo = (cols[None, None, None, :] == rel_lo[..., None])
     one_hi = (cols[None, None, None, :] == rel_hi[..., None])
     w = one_lo * w_lo[..., None] + one_hi * w_hi[..., None]
-    return w.sum(axis=2).astype(dtype)                   # [N, out, SPAN]
+    n_rows = jnp.clip(((rel_hi + 1.0) * inside).max(axis=(1, 2)),
+                      1.0, SPAN).astype(jnp.int32)
+    return w.sum(axis=2).astype(dtype), n_rows           # [N, out, SPAN]
 
 
 def _pad8(w: int) -> int:
@@ -147,45 +152,58 @@ def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
                   0, jnp.maximum(widths - SPAN, 0))
     ox = (ox // 8) * 8
 
-    wy = _axis_strip(y1, bh, heights.astype(rois.dtype),
-                     oy.astype(rois.dtype), out_size, sample_num, dtype)
-    wx = _axis_strip(x1, bw, widths.astype(rois.dtype),
-                     ox.astype(rois.dtype), out_size, sample_num, dtype)
+    wy, ny = _axis_strip(y1, bh, heights.astype(rois.dtype),
+                         oy.astype(rois.dtype), out_size, sample_num, dtype)
+    wx, _ = _axis_strip(x1, bw, widths.astype(rois.dtype),
+                        ox.astype(rois.dtype), out_size, sample_num, dtype)
     base = offset + oy * w8 + ox
-    return base.astype(jnp.int32), w8, wy, wx
+    return base.astype(jnp.int32), w8, ny, wy, wx
 
 
-def _kernel(base_ref, wl_ref, flat_ref, wy_ref, wx_ref, out_ref,
-            s_ref, sx_ref, wblk_ref, *, c: int, out_size: int):
+def _kernel(base_ref, wl_ref, ny_ref, flat_ref, wy_ref, wx_ref, out_ref,
+            s_ref, sx_ref, *, c: int, out_size: int):
+    """Stage + pool one (batch, RoI-chunk) grid step.
+
+    The staging loop per RoI runs only over the `ny` window rows that
+    carry y-weight (`_axis_strip.n_rows`): the level router keeps most
+    proposals' feature-space spans far below SPAN (anchor-sized boxes
+    span ~10 rows), and staging loads are ~90% of the kernel's VMEM
+    traffic, so the dynamic trip count is the difference between
+    loading 64 rows/RoI and loading ~e.g. 12. Rows i >= ny are left
+    stale in sx_ref; their wy columns are exactly zero, so the y-pool
+    dot cancels them (sx_ref is zero-initialized once at grid step 0 so
+    stale values are always finite pooled features, never NaN bits).
+    """
     b = pl.program_id(0)
     chunk_i = pl.program_id(1)
     os8 = 8                                  # q rows per RoI, 8-aligned
 
-    # Block-diagonal x-weights [CHUNK*8, CHUNK*SPAN]: one [7, SPAN]
-    # block per RoI (row r*8+7 stays zero for sublane alignment). The
-    # per-(row, RoI) dots this replaces ran the MXU at M=7 (5% of its
-    # rows); the blocked dot below runs M=64/K=512.
-    wblk_ref[...] = jnp.zeros_like(wblk_ref)
-    for r in range(CHUNK):
-        wblk_ref[r * os8:r * os8 + out_size,
-                 r * SPAN:(r + 1) * SPAN] = wx_ref[0, r]
+    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
+    def _init():
+        sx_ref[...] = jnp.zeros_like(sx_ref)
 
-    # x-pool: stage all CHUNK RoIs' window row i side by side, then one
-    # [CHUNK*8, CHUNK*SPAN] @ [CHUNK*SPAN, C] dot pools them together.
-    # base and wl are multiples of 8 by construction (_plan); Mosaic
-    # needs the hint to allow the dynamic vector load.
-    for i in range(SPAN):
-        for r in range(CHUNK):
-            roi = chunk_i * CHUNK + r
-            start = pl.multiple_of(base_ref[b, roi] + i * wl_ref[b, roi],
-                                   8)
-            s_ref[r * SPAN:(r + 1) * SPAN, :] = \
-                flat_ref[0, pl.ds(start, SPAN), :]
-        sx_ref[i] = jax.lax.dot_general(
-            wblk_ref[...], s_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(sx_ref.dtype)               # [CHUNK*8 (r, q), C]
+    # x-pool: per RoI, stage window row i and pool its SPAN columns
+    # with one [out, SPAN] @ [SPAN, C] dot. base and wl are multiples
+    # of 8 by construction (_plan); Mosaic needs the hint to allow the
+    # dynamic vector load.
+    for r in range(CHUNK):
+        roi = chunk_i * CHUNK + r
+        base = base_ref[b, roi]
+        wl = wl_ref[b, roi]
+        wx_r = wx_ref[0, r]                              # [7, SPAN]
+
+        def body(i, carry, base=base, wl=wl, wx_r=wx_r, r=r):
+            start = pl.multiple_of(base + i * wl, 8)
+            s_ref[...] = flat_ref[0, pl.ds(start, SPAN), :]
+            sx = jax.lax.dot_general(
+                wx_r, s_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [7(q), C]
+            sx_ref[i, r * os8:r * os8 + out_size, :] = sx.astype(
+                sx_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, ny_ref[b, roi], body, 0)
 
     # y-pool per RoI / output column; emit rows in (p, q) order
     for r in range(CHUNK):
@@ -201,12 +219,12 @@ def _kernel(base_ref, wl_ref, flat_ref, wy_ref, wx_ref, out_ref,
                 out_ref[0, r, p * out_size + q, :] = yp[p]
 
 
-def _call(base, wl, flat, wy, wx, bsz, n, c, out_size, interpret):
+def _call(base, wl, ny, flat, wy, wx, bsz, n, c, out_size, interpret):
     grid = (bsz, n // CHUNK)
     return pl.pallas_call(
         functools.partial(_kernel, c=c, out_size=out_size),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,                   # base, wl
+            num_scalar_prefetch=3,                   # base, wl, ny
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, flat.shape[1], c),
@@ -224,9 +242,8 @@ def _call(base, wl, flat, wy, wx, bsz, n, c, out_size, interpret):
                 lambda b, i, *_: (b, i, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((CHUNK * SPAN, c), jnp.bfloat16),
+                pltpu.VMEM((SPAN, c), jnp.bfloat16),
                 pltpu.VMEM((SPAN, CHUNK * 8, c), jnp.bfloat16),
-                pltpu.VMEM((CHUNK * 8, CHUNK * SPAN), jnp.bfloat16),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
@@ -237,7 +254,7 @@ def _call(base, wl, flat, wy, wx, bsz, n, c, out_size, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(base, wl, flat, wy, wx)
+    )(base, wl, ny, flat, wy, wx)
 
 
 def _pool_batched(feats, rois, strides, out_size, sample_num,
@@ -252,7 +269,7 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
     dt = jnp.bfloat16
 
-    base, wl, wy, wx = jax.vmap(
+    base, wl, ny, wy, wx = jax.vmap(
         lambda r: _plan(r, strides, sizes, out_size, sample_num,
                         finest_scale, dt))(rois)
     # flat buffer with every level's width padded to a multiple of 8
@@ -275,7 +292,7 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
         acc += h * w8
     flat = jnp.pad(flat, ((0, 0), (0, max(0, read_end - total)), (0, 0)))
 
-    out = _call(base, wl, flat, wy, wx, bsz, n, c, out_size, interpret)
+    out = _call(base, wl, ny, flat, wy, wx, bsz, n, c, out_size, interpret)
     # kernel emits rows in (p, q) order already
     out = out.reshape(bsz, n, out_size, out_size, c)
 
