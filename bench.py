@@ -59,6 +59,8 @@ def main():
     ap.add_argument('--pool', choices=['onehot', 'gather', 'pallas'],
                     default=None,
                     help='override RoIAlign formulation (default: config)')
+    ap.add_argument('--cf', choices=['auto', 'off', 'on'], default=None,
+                    help='override backbone cf_layout (default: config)')
     args = ap.parse_args()
 
     import dataclasses
@@ -79,6 +81,10 @@ def main():
             model_cfg, roi=dataclasses.replace(model_cfg.roi,
                                                pool_method=args.pool,
                                                pool_method_eval=args.pool))
+    if args.cf:
+        model_cfg = dataclasses.replace(
+            model_cfg, backbone=dataclasses.replace(model_cfg.backbone,
+                                                    cf_layout=args.cf))
     dtype = None if (args.f32 or args.quick) else jnp.bfloat16
     det = CascadeRCNN(model_cfg, dtype=dtype)
     nmod = cfg.model.backbone.num_fused_modalities
