@@ -21,8 +21,9 @@ This kernel never leaves VMEM between sampling and pooling:
     flat rows = the x-window of one feature row), where ny <= S is the
     RoI's true y-tap extent (most proposals span ~10-30 rows, not 64 —
     staging loads are ~90% of kernel VMEM traffic, so the dynamic trip
-    count is the main lever), x-pools each with a small MXU dot, and
-    y-pools per output column:
+    count is the main lever); RoIs whose x-taps fit the first S/2
+    columns also skip the upper-half load. Each row is x-pooled with a
+    small MXU dot, then y-pooled per output column:
         for i < ny:  sx[i] = Wx[7, S] @ row_i[S, C]     # [7(q), C]
         for q < 7:   out[p*7+q] = (Wy[7, S] @ sx[:, q, :])[p]
     Off-window / off-level taps carry zero weight, so garbage rows
@@ -154,14 +155,18 @@ def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
 
     wy, ny = _axis_strip(y1, bh, heights.astype(rois.dtype),
                          oy.astype(rois.dtype), out_size, sample_num, dtype)
-    wx, _ = _axis_strip(x1, bw, widths.astype(rois.dtype),
-                        ox.astype(rois.dtype), out_size, sample_num, dtype)
+    wx, nx = _axis_strip(x1, bw, widths.astype(rois.dtype),
+                         ox.astype(rois.dtype), out_size, sample_num, dtype)
     base = offset + oy * w8 + ox
-    return base.astype(jnp.int32), w8, ny, wy, wx
+    # wide flag: any x-tap beyond the window's first half -> the kernel
+    # must load the upper SPAN/2 columns too (exact, from the one-hot
+    # column extent — no margin heuristics)
+    wide = (nx > SPAN // 2).astype(jnp.int32)
+    return base.astype(jnp.int32), w8, ny, wide, wy, wx
 
 
-def _kernel(base_ref, wl_ref, ny_ref, flat_ref, wy_ref, wx_ref, out_ref,
-            s_ref, sx_ref, *, c: int, out_size: int):
+def _kernel(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
+            out_ref, s_ref, sx_ref, *, c: int, out_size: int):
     """Stage + pool one (batch, RoI-chunk) grid step.
 
     The staging loop per RoI runs only over the `ny` window rows that
@@ -180,21 +185,33 @@ def _kernel(base_ref, wl_ref, ny_ref, flat_ref, wy_ref, wx_ref, out_ref,
 
     @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
     def _init():
+        s_ref[...] = jnp.zeros_like(s_ref)
         sx_ref[...] = jnp.zeros_like(sx_ref)
 
     # x-pool: per RoI, stage window row i and pool its SPAN columns
     # with one [out, SPAN] @ [SPAN, C] dot. base and wl are multiples
     # of 8 by construction (_plan); Mosaic needs the hint to allow the
     # dynamic vector load.
+    half = SPAN // 2
     for r in range(CHUNK):
         roi = chunk_i * CHUNK + r
         base = base_ref[b, roi]
         wl = wl_ref[b, roi]
+        wide = wide_ref[b, roi]
         wx_r = wx_ref[0, r]                              # [7, SPAN]
 
-        def body(i, carry, base=base, wl=wl, wx_r=wx_r, r=r):
+        def body(i, carry, base=base, wl=wl, wide=wide, wx_r=wx_r, r=r):
             start = pl.multiple_of(base + i * wl, 8)
-            s_ref[...] = flat_ref[0, pl.ds(start, SPAN), :]
+            # narrow RoIs (x-taps within the first half-window — the
+            # common case) skip the upper-half load; stale upper rows
+            # are cancelled by their exactly-zero wx columns
+            s_ref[0:half, :] = flat_ref[0, pl.ds(start, half), :]
+
+            @pl.when(wide > 0)
+            def _upper():
+                s_ref[half:SPAN, :] = flat_ref[
+                    0, pl.ds(start + half, half), :]
+
             sx = jax.lax.dot_general(
                 wx_r, s_ref[...],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -219,12 +236,12 @@ def _kernel(base_ref, wl_ref, ny_ref, flat_ref, wy_ref, wx_ref, out_ref,
                 out_ref[0, r, p * out_size + q, :] = yp[p]
 
 
-def _call(base, wl, ny, flat, wy, wx, bsz, n, c, out_size, interpret):
+def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret):
     grid = (bsz, n // CHUNK)
     return pl.pallas_call(
         functools.partial(_kernel, c=c, out_size=out_size),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,                   # base, wl, ny
+            num_scalar_prefetch=4,                   # base, wl, ny, wide
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, flat.shape[1], c),
@@ -254,7 +271,7 @@ def _call(base, wl, ny, flat, wy, wx, bsz, n, c, out_size, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(base, wl, ny, flat, wy, wx)
+    )(base, wl, ny, wide, flat, wy, wx)
 
 
 def _pool_batched(feats, rois, strides, out_size, sample_num,
@@ -269,7 +286,7 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
     dt = jnp.bfloat16
 
-    base, wl, ny, wy, wx = jax.vmap(
+    base, wl, ny, wide, wy, wx = jax.vmap(
         lambda r: _plan(r, strides, sizes, out_size, sample_num,
                         finest_scale, dt))(rois)
     # flat buffer with every level's width padded to a multiple of 8
@@ -292,7 +309,8 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
         acc += h * w8
     flat = jnp.pad(flat, ((0, 0), (0, max(0, read_end - total)), (0, 0)))
 
-    out = _call(base, wl, ny, flat, wy, wx, bsz, n, c, out_size, interpret)
+    out = _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size,
+                interpret)
     # kernel emits rows in (p, q) order already
     out = out.reshape(bsz, n, out_size, out_size, c)
 
