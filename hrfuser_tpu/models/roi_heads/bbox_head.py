@@ -31,7 +31,7 @@ class _ChwOrderDense(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x_hwc_flat: Array) -> Array:
+    def __call__(self, x: Array) -> Array:
         h, w = self.spatial
         c = self.channels
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
@@ -40,10 +40,16 @@ class _ChwOrderDense(nn.Module):
         if self.dtype is not None:
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype)
-            x_hwc_flat = x_hwc_flat.astype(self.dtype)
+            x = x.astype(self.dtype)
         k_hwc = kernel.reshape(c, h, w, self.features) \
-            .transpose(1, 2, 0, 3).reshape(c * h * w, self.features)
-        return x_hwc_flat @ k_hwc + bias
+            .transpose(1, 2, 0, 3)                       # [h, w, c, F]
+        if x.ndim == 3:
+            # [N, h*w, c] straight from the Pallas pool: contract both
+            # trailing dims in one dot — no [7,7] re-tiling copies
+            return jnp.einsum(
+                'nqc,qcf->nf', x,
+                k_hwc.reshape(h * w, c, self.features)) + bias
+        return x @ k_hwc.reshape(c * h * w, self.features) + bias
 
 
 class Shared2FCBBoxHead(nn.Module):
@@ -54,11 +60,17 @@ class Shared2FCBBoxHead(nn.Module):
 
     @nn.compact
     def __call__(self, roi_feats: Array) -> Tuple[Array, Array]:
-        """roi_feats: [N, 7, 7, C] -> (cls_logits [N, C+1], deltas [N, 4])."""
-        n, h, w, c = roi_feats.shape
+        """roi_feats: [N, 7, 7, C] (or [N, 49, C] from the Pallas pool)
+        -> (cls_logits [N, C+1], deltas [N, 4])."""
+        if roi_feats.ndim == 3:
+            n, q, c = roi_feats.shape
+            h = w = int(round(q ** 0.5))
+            x = roi_feats
+        else:
+            n, h, w, c = roi_feats.shape
+            x = roi_feats.reshape(n, -1)
         x = nn.relu(_ChwOrderDense(self.fc_out_channels, (h, w), c,
-                                   dtype=self.dtype, name='shared_fc0')(
-            roi_feats.reshape(n, -1)))
+                                   dtype=self.dtype, name='shared_fc0')(x))
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
                              name='shared_fc1')(x))
         cls_logits = nn.Dense(self.num_classes + 1, dtype=self.dtype,

@@ -107,11 +107,14 @@ class CascadeRoIHead(nn.Module):
         if method == 'pallas':
             from hrfuser_tpu.ops.pallas_roi_align import (
                 multilevel_roi_align_pallas)
+            # flat_out: the 2FC head flattens anyway; taking the
+            # kernel's native [N, 49, C] row order avoids the [7, 7]
+            # re-tiling relayout copies between pool and head
             return multilevel_roi_align_pallas(
                 list(feats), rois, tuple(self.cfg.featmap_strides),
                 out_size=self.cfg.roi_size,
                 sample_num=self.cfg.sample_num,
-                finest_scale=self.cfg.finest_scale)
+                finest_scale=self.cfg.finest_scale, flat_out=True)
         return multilevel_roi_align(
             list(feats), rois, list(self.cfg.featmap_strides),
             out_size=self.cfg.roi_size, sample_num=self.cfg.sample_num,

@@ -275,9 +275,11 @@ def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret):
 
 
 def _pool_batched(feats, rois, strides, out_size, sample_num,
-                  finest_scale, interpret):
+                  finest_scale, interpret, flat_out=False):
     """Batched implementation: feats [B, H_l, W_l, C] per level,
-    rois [B, N, 4] -> [B, N, out, out, C] bf16."""
+    rois [B, N, 4] -> [B, N, out, out, C] bf16 (or [B, N, out*out, C]
+    when `flat_out` — the kernel's native row order, sparing the
+    consumer the [out, out] re-tiling relayout)."""
     c = feats[0].shape[-1]
     bsz, n_in = rois.shape[:2]
     if n_in % CHUNK:                     # pad to the chunk grid
@@ -311,8 +313,9 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
 
     out = _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size,
                 interpret)
-    # kernel emits rows in (p, q) order already
-    out = out.reshape(bsz, n, out_size, out_size, c)
+    # kernel emits rows in (p, q) order already: [B, N, out*out, C]
+    if not flat_out:
+        out = out.reshape(bsz, n, out_size, out_size, c)
 
     # exact fallback for RoIs whose feature-space span exceeds the
     # window (aspect ratio beyond ~(SPAN/28)^2): route the FALLBACK
@@ -333,10 +336,12 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
             feats_i, rois_i[fb_idx], list(strides), out_size=out_size,
             sample_num=sample_num, finest_scale=finest_scale,
             gather_dtype=dt).astype(out_i.dtype)
+        fb_out = fb_out.reshape((fb,) + out_i.shape[1:])
         # margin: +1 hi-tap, +7 x-origin alignment shift
-        wide = span[fb_idx] > SPAN - 9
+        oversize = span[fb_idx] > SPAN - 9
+        mask = oversize.reshape((fb,) + (1,) * (out_i.ndim - 1))
         return out_i.at[fb_idx].set(
-            jnp.where(wide[:, None, None, None], fb_out, out_i[fb_idx]))
+            jnp.where(mask, fb_out, out_i[fb_idx]))
 
     out = jax.vmap(merge_one)(feats, rois, out)
     return out[:, :n_in]
@@ -344,7 +349,7 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
 
 @functools.lru_cache(maxsize=None)
 def _make_pool_fn(strides, out_size, sample_num, finest_scale,
-                  interpret):
+                  interpret, flat_out):
     """Build the single-image entry with a custom vmap rule that maps
     straight onto the batched kernel grid (instead of jax's fallback
     loop-over-batch, which serialized 8 single-image Pallas calls)."""
@@ -353,7 +358,7 @@ def _make_pool_fn(strides, out_size, sample_num, finest_scale,
     def fn(feats, rois):
         out = _pool_batched([f[None] for f in feats], rois[None],
                             strides, out_size, sample_num, finest_scale,
-                            interpret)
+                            interpret, flat_out)
         return out[0]
 
     @fn.def_vmap
@@ -366,7 +371,7 @@ def _make_pool_fn(strides, out_size, sample_num, finest_scale,
             rois = jnp.broadcast_to(rois[None],
                                     (axis_size,) + rois.shape)
         out = _pool_batched(feats, rois, strides, out_size, sample_num,
-                            finest_scale, interpret)
+                            finest_scale, interpret, flat_out)
         return out, True
 
     return fn
@@ -374,12 +379,13 @@ def _make_pool_fn(strides, out_size, sample_num, finest_scale,
 
 @functools.partial(jax.jit, static_argnames=('strides', 'out_size',
                                              'sample_num', 'finest_scale',
-                                             'interpret'))
+                                             'interpret', 'flat_out'))
 def multilevel_roi_align_pallas(feats, rois: Array,
                                 strides=(4, 8, 16, 32),
                                 out_size: int = 7, sample_num: int = 2,
                                 finest_scale: int = 56,
-                                interpret: bool = False) -> Array:
+                                interpret: bool = False,
+                                flat_out: bool = False) -> Array:
     """Fused RoIAlign over an FPN pyramid (single image; `vmap` maps
     onto a native (batch, chunk) kernel grid).
 
@@ -388,6 +394,9 @@ def multilevel_roi_align_pallas(feats, rois: Array,
             128 (256 in all shipped configs).
         rois: [N, 4] boxes in image coordinates; N % CHUNK == 0 (the
             detector's fixed RoI counts are 512/1000... padded to 8).
+        flat_out: return [N, out*out, C] in the kernel's native (p, q)
+            row order instead of [N, out, out, C] — consumers that
+            flatten anyway (the 2FC head) skip a re-tiling relayout.
 
     Returns:
         [N, out_size, out_size, C] bfloat16 (f32 accumulation, one
@@ -395,5 +404,5 @@ def multilevel_roi_align_pallas(feats, rois: Array,
         `multilevel_roi_align` (aligned=True, static sample grid).
     """
     fn = _make_pool_fn(tuple(strides), out_size, sample_num,
-                       finest_scale, interpret)
+                       finest_scale, interpret, flat_out)
     return fn(list(feats), rois)

@@ -58,3 +58,32 @@ def test_pallas_roi_align_larger_batch_of_rois():
     got = np.asarray(_f32(multilevel_roi_align_pallas(
         feats, rois, (4, 8, 16, 32), interpret=INTERPRET)))
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+
+def test_pallas_flat_out_matches_reshaped():
+    rng = np.random.default_rng(2)
+    feats = _feats(rng, h0=64, w0=96, c=256)
+    wh = rng.uniform(4, 300, (16, 2))
+    xy = rng.uniform(0, 1, (16, 2)) * (np.array([380., 250.]) - wh)
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1), np.float32)
+    full = np.asarray(multilevel_roi_align_pallas(
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET))
+    flat = np.asarray(multilevel_roi_align_pallas(
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET, flat_out=True))
+    assert flat.shape == (16, 49, 256)
+    np.testing.assert_array_equal(flat.reshape(full.shape), full)
+
+
+def test_bbox_head_rank3_matches_rank4():
+    import jax as _jax
+    from hrfuser_tpu.models.roi_heads.bbox_head import Shared2FCBBoxHead
+    rng = np.random.default_rng(3)
+    x4 = jnp.asarray(rng.normal(0, 1, (10, 7, 7, 32)), jnp.float32)
+    head = Shared2FCBBoxHead(num_classes=4, fc_out_channels=64)
+    vs = head.init(_jax.random.PRNGKey(0), x4)
+    cls4, reg4 = head.apply(vs, x4)
+    cls3, reg3 = head.apply(vs, x4.reshape(10, 49, 32))
+    np.testing.assert_allclose(np.asarray(cls3), np.asarray(cls4),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg3), np.asarray(reg4),
+                               atol=1e-5, rtol=1e-5)
