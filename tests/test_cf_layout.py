@@ -144,3 +144,31 @@ def test_backbone_cf_layout_equivalence():
     for r, o in zip(ref, out):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_hrformer_block_cf_gradient_equivalence():
+    """CF is selected in training too — parameter gradients must match."""
+    rng = np.random.default_rng(7)
+    x = _rand(rng, 2, 9, 12, 8)
+    mod = HRFormerBlock(num_heads=2, window_size=7, mlp_ratio=2.0)
+    vs = mod.init(jax.random.PRNGKey(0), x, False)
+    params, rest = vs['params'], {k: v for k, v in vs.items()
+                                  if k != 'params'}
+    cf_mod = HRFormerBlock(num_heads=2, window_size=7, mlp_ratio=2.0,
+                           layout='cf')
+
+    def loss_nhwc(p):
+        out = mod.apply({'params': p, **rest}, x, False)
+        return jnp.sum(out * out)
+
+    def loss_cf(p):
+        out = cf_mod.apply({'params': p, **rest},
+                           x.transpose(0, 3, 1, 2), False)
+        return jnp.sum(out * out)
+
+    g_ref = jax.grad(loss_nhwc)(params)
+    g_cf = jax.grad(loss_cf)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4),
+        g_ref, g_cf)
