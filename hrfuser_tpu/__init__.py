@@ -12,28 +12,6 @@ import os as _os
 from hrfuser_tpu.version import __version__  # noqa: F401
 
 
-def _honor_platform_env():
-    """Make `JAX_PLATFORMS=cpu` actually work on this host.
-
-    The tunneled TPU plugin ('axon') ignores the JAX_PLATFORMS env var and
-    initializes anyway — and hangs for minutes when the tunnel is down.
-    Only `jax.config.update('jax_platforms', ...)` before first backend
-    use reliably selects the platform, so mirror the env var into the
-    config here (every CLI/tool imports this package before touching a
-    device).
-    """
-    plat = _os.environ.get('JAX_PLATFORMS')
-    if not plat:
-        return
-    try:
-        import jax
-        if getattr(jax.config, 'jax_platforms', None):
-            return      # someone (e.g. tests/conftest.py) already chose
-        jax.config.update('jax_platforms', plat)
-    except Exception:                                    # pragma: no cover
-        pass
-
-
 def _enable_compilation_cache():
     """Persistent XLA compilation cache (opt out: HRFUSER_NO_JAX_CACHE=1).
 
@@ -58,5 +36,4 @@ def _enable_compilation_cache():
         pass
 
 
-_honor_platform_env()
 _enable_compilation_cache()

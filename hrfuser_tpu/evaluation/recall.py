@@ -103,16 +103,22 @@ def eval_recalls(gts: Sequence[np.ndarray],
 
 def fast_eval_recall(dataset, proposals: Sequence[np.ndarray],
                      proposal_nums: Sequence[int] = (100, 300, 1000),
-                     iou_thrs: Union[float, Sequence[float]] = 0.5
+                     iou_thrs: Union[float, Sequence[float], None] = None
                      ) -> Dict[str, float]:
     """AR@N over a dataset's gt (reference `fast_eval_recall`,
     `coco.py:331-351`): mean recall over IoU thresholds per budget.
+
+    Default thresholds follow the reference caller
+    (`coco.py:428-447`): AR is averaged over IoU 0.5:0.95:10, not 0.5
+    alone — a 0.5-only default inflated AR vs the baseline metric.
 
     `dataset` needs `__len__` + `get_ann_info(i) -> {'bboxes': [G, 4]}`.
     """
     gt_bboxes = [np.asarray(dataset.get_ann_info(i)['bboxes'],
                             np.float32).reshape(-1, 4)
                  for i in range(len(dataset))]
+    if iou_thrs is None:
+        iou_thrs = np.linspace(0.5, 0.95, 10)
     recalls = eval_recalls(gt_bboxes, proposals, list(proposal_nums),
                            iou_thrs)
     ar = recalls.mean(axis=1)

@@ -65,12 +65,13 @@ SPAN = 64
 # the dense-row variant), so the chunk mainly sizes the sx scratch and
 # the weight-block prefetch. Env override for tuning.
 CHUNK = int(__import__('os').environ.get('HRFUSER_ROI_CHUNK', '4'))
-# Widest RoIs routed through the exact gather path. The gather
-# formulation costs ~0.3 ms per RoI-row across the 3 cascade stages at
-# batch 8 (measured: 36 ms/step at 128), so the budget is deliberately
-# small: >16 boxes of aspect ratio >3.9 in ONE image cannot occur for
-# the detector's box distributions (anchor ratios are {.5, 1, 2} and
-# delta clamping bounds the tail), so the merge stays exact in practice.
+# Widest RoIs routed through the exact gather path when any RoI's span
+# exceeds the window. The gather formulation costs ~0.3 ms per RoI-row
+# across the 3 cascade stages at batch 8 (measured: 36 ms/step at 128),
+# so the steady-state budget is small — and exactness does NOT depend
+# on it: batches with zero oversize RoIs skip the fallback entirely,
+# and batches with more than FALLBACK oversize RoIs in an image escape
+# to a full gather re-pool (see the tiered cond in `_pool_batched`).
 FALLBACK = 16
 
 
@@ -281,6 +282,9 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     when `flat_out` — the kernel's native row order, sparing the
     consumer the [out, out] re-tiling relayout)."""
     c = feats[0].shape[-1]
+    assert out_size <= 8, (
+        f'kernel scratch packs one RoI per 8 sublanes (os8=8); '
+        f'out_size={out_size} would overlap adjacent RoIs')
     bsz, n_in = rois.shape[:2]
     if n_in % CHUNK:                     # pad to the chunk grid
         rois = jnp.pad(rois, ((0, 0), (0, CHUNK - n_in % CHUNK), (0, 0)))
@@ -317,33 +321,59 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     if not flat_out:
         out = out.reshape(bsz, n, out_size, out_size, c)
 
-    # exact fallback for RoIs whose feature-space span exceeds the
-    # window (aspect ratio beyond ~(SPAN/28)^2): route the FALLBACK
-    # widest RoIs through the gather formulation and merge by mask.
+    # Exact fallback for RoIs whose feature-space span exceeds the
+    # window (aspect ratio beyond ~(SPAN/28)^2). Tiered so the common
+    # case pays nothing:
+    #   * no oversize RoIs (typical batch) -> kernel output as-is;
+    #   * <= FALLBACK oversize per image   -> re-pool just those via the
+    #     gather formulation and merge by mask;
+    #   * > FALLBACK oversize (pathological, e.g. stage-2/3 regression
+    #     blowing up aspect ratios in a cluttered image) -> re-pool
+    #     EVERYTHING via gather. Exact for every input, never silently
+    #     truncated; XLA compiles all tiers, `cond` executes one.
     from hrfuser_tpu.ops.roi_align import multilevel_roi_align
     num_levels = len(strides)
+    inv_strides = jnp.asarray([1.0 / s for s in strides], rois.dtype)
 
-    def merge_one(feats_i, rois_i, out_i):
+    def span_of(rois_i):
         lvl = map_roi_levels(rois_i, num_levels, finest_scale)
-        inv_strides = jnp.asarray([1.0 / s for s in strides],
-                                  rois_i.dtype)
         scale = inv_strides[lvl]
-        span = jnp.maximum((rois_i[:, 2] - rois_i[:, 0]) * scale,
+        return jnp.maximum((rois_i[:, 2] - rois_i[:, 0]) * scale,
                            (rois_i[:, 3] - rois_i[:, 1]) * scale)
-        fb = min(FALLBACK, n)
-        _, fb_idx = jax.lax.top_k(span, fb)
-        fb_out = multilevel_roi_align(
-            feats_i, rois_i[fb_idx], list(strides), out_size=out_size,
-            sample_num=sample_num, finest_scale=finest_scale,
-            gather_dtype=dt).astype(out_i.dtype)
-        fb_out = fb_out.reshape((fb,) + out_i.shape[1:])
-        # margin: +1 hi-tap, +7 x-origin alignment shift
-        oversize = span[fb_idx] > SPAN - 9
-        mask = oversize.reshape((fb,) + (1,) * (out_i.ndim - 1))
-        return out_i.at[fb_idx].set(
-            jnp.where(mask, fb_out, out_i[fb_idx]))
 
-    out = jax.vmap(merge_one)(feats, rois, out)
+    spans = jax.vmap(span_of)(rois)                      # [B, N]
+    # margin: +1 hi-tap, +7 x-origin alignment shift
+    oversize = spans > SPAN - 9
+    n_over_max = oversize.sum(axis=-1).max()
+
+    def gather_all_fn():
+        full = jax.vmap(lambda f, r: multilevel_roi_align(
+            f, r, list(strides), out_size=out_size,
+            sample_num=sample_num, finest_scale=finest_scale,
+            gather_dtype=dt))(feats, rois).astype(out.dtype)
+        return full.reshape(out.shape)
+
+    def merge_fn():
+        def merge_one(feats_i, rois_i, span_i, out_i):
+            fb = min(FALLBACK, n)
+            _, fb_idx = jax.lax.top_k(span_i, fb)
+            fb_out = multilevel_roi_align(
+                feats_i, rois_i[fb_idx], list(strides), out_size=out_size,
+                sample_num=sample_num, finest_scale=finest_scale,
+                gather_dtype=dt).astype(out_i.dtype)
+            fb_out = fb_out.reshape((fb,) + out_i.shape[1:])
+            mask = (span_i[fb_idx] > SPAN - 9).reshape(
+                (fb,) + (1,) * (out_i.ndim - 1))
+            return out_i.at[fb_idx].set(
+                jnp.where(mask, fb_out, out_i[fb_idx]))
+
+        return jax.vmap(merge_one)(feats, rois, spans, out)
+
+    out = jax.lax.cond(
+        n_over_max == 0,
+        lambda: out,
+        lambda: jax.lax.cond(n_over_max <= FALLBACK, merge_fn,
+                             gather_all_fn))
     return out[:, :n_in]
 
 

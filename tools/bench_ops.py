@@ -76,12 +76,6 @@ def bench_roi(args):
     feats = fpn_feats(b)
     rois = rand_rois(b, n)
 
-    def run_gather(feats, rois):
-        f = [x[0] for x in feats]
-        return jax.vmap(lambda r: multilevel_roi_align(
-            [x for x in f], r, [4, 8, 16, 32], gather_dtype=jnp.bfloat16)
-            if False else None)(rois) if False else None
-
     # vmapped single-image calls, like the cascade head does
     def gather(feats, rois):
         return jax.vmap(lambda f0, f1, f2, f3, r: multilevel_roi_align(

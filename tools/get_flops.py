@@ -113,9 +113,12 @@ def main():
         print(f"params:    {n_params / 1e6:.2f} M")
         print(f"FLOPs:     {out['gflops_per_image']:.2f} GFLOPs/image "
               f"({out['gflops_total']:.2f} total)")
-        print(f"HBM bytes: {out['gbytes_accessed']:.2f} GB "
-              f"(AI = {out['arithmetic_intensity_flop_per_byte']:.1f} "
-              f"FLOP/B)")
+        ai = out['arithmetic_intensity_flop_per_byte']
+        gb = out['gbytes_accessed']
+        if gb is not None and ai is not None:
+            print(f"HBM bytes: {gb:.2f} GB (AI = {ai:.1f} FLOP/B)")
+        else:
+            print("HBM bytes: (not reported by this backend)")
 
 
 if __name__ == '__main__':
