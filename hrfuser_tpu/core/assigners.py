@@ -45,12 +45,17 @@ def max_iou_assign(gt_boxes: Array, gt_labels: Array, gt_valid: Array,
     ious = bbox_overlaps(gt_boxes, boxes)                # [G, N]
     ious = jnp.where(gt_valid[:, None] & box_valid[None, :], ious, -1.0)
 
-    max_ov = jnp.max(ious, axis=0)                       # [N]
+    raw_max = jnp.max(ious, axis=0)                      # [N] (-1: no gt)
     argmax_gt = jnp.argmax(ious, axis=0)                 # [N]
+    # A valid box's true best overlap is >= 0 even when every gt slot is
+    # padding (the reference's num_gts == 0 branch marks ALL boxes
+    # negative, `max_iou_assigner.py:128-140`); the -1 mask above only
+    # keeps argmax off padded gts.
+    max_ov = jnp.maximum(raw_max, 0.0)
 
     gt_inds = jnp.full(boxes.shape[0], -1, jnp.int32)
-    gt_inds = jnp.where((max_ov >= 0) & (max_ov < neg_iou_thr), 0, gt_inds)
-    gt_inds = jnp.where(max_ov >= pos_iou_thr,
+    gt_inds = jnp.where(max_ov < neg_iou_thr, 0, gt_inds)
+    gt_inds = jnp.where((raw_max >= pos_iou_thr) & (raw_max >= 0),
                         argmax_gt.astype(jnp.int32) + 1, gt_inds)
 
     if match_low_quality:

@@ -98,6 +98,10 @@ class CascadeRoIHead(nn.Module):
             # interpret-mode Pallas is orders of magnitude too slow for
             # CPU runs; the gather formulation is numerically equivalent
             method = 'gather'
+        if method == 'pallas' and self.cfg.sample_num == 0:
+            # adaptive sampling_ratio=0 (exact parity mode) has a
+            # data-dependent tap grid; only the gather path supports it
+            method = 'gather'
         if method == 'onehot':
             return multilevel_roi_align_onehot(
                 list(feats), rois, list(self.cfg.featmap_strides),

@@ -116,13 +116,7 @@ def delta2bbox(rois: Array, deltas: Array,
     x2y2 = gxy + gwh * 0.5
     boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
     if max_shape is not None:
-        h, w = max_shape[0], max_shape[1]
-        boxes = jnp.stack([
-            jnp.clip(boxes[..., 0], 0, w),
-            jnp.clip(boxes[..., 1], 0, h),
-            jnp.clip(boxes[..., 2], 0, w),
-            jnp.clip(boxes[..., 3], 0, h),
-        ], axis=-1)
+        boxes = clip_boxes(boxes, (max_shape[0], max_shape[1]))
     return boxes
 
 

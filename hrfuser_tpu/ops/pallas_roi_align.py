@@ -36,8 +36,11 @@ This kernel never leaves VMEM between sampling and pooling:
     `custom_vmap` rule, NOT jax's fallback vmap-as-loop (which unrolled
     into 8 sequential single-image calls inside a `while`).
 
-Numerics match `multilevel_roi_align` (same coordinates/weights/
-masks; bf16 compute, f32 accumulation, one final bf16 round).
+Numerics match `multilevel_roi_align` to bf16 tolerance (same
+coordinates/weights/masks; each pooling dot accumulates in f32, with
+one intermediate bf16 round between the x- and y-pools — the staged
+sx scratch is bf16 to halve y-pool VMEM traffic — plus the final bf16
+round; tests compare at atol/rtol 0.05).
 Forward-only: the eval path needs no VJP (training keeps the one-hot
 matmul formulation, whose backward is transposed matmuls).
 """
@@ -147,11 +150,18 @@ def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
 
     # window origin: at or below the first tap, clamped so the SPAN
     # window stays inside the level extent (sample taps are clipped to
-    # [0, size-1]); x additionally aligned down to a multiple of 8
+    # [0, size-1]); x additionally aligned down to a multiple of 8.
+    # The x clamp is against the PADDED width w8, not `widths`: taps
+    # never exceed widths-1, but clamping to widths-SPAN then aligning
+    # down can push the window so far left that right-edge taps fall
+    # outside the one-hot strip when the level width is >SPAN and not a
+    # multiple of 8 (e.g. the STF r1248 stride-8 level, width 156) —
+    # windows over the zero-padded columns are harmless and in-bounds
+    # by the read_end accounting.
     oy = jnp.clip(jnp.floor(jnp.clip(y1, 0.0, None)).astype(jnp.int32),
                   0, jnp.maximum(heights - SPAN, 0))
     ox = jnp.clip(jnp.floor(jnp.clip(x1, 0.0, None)).astype(jnp.int32),
-                  0, jnp.maximum(widths - SPAN, 0))
+                  0, jnp.maximum(w8 - SPAN, 0))
     ox = (ox // 8) * 8
 
     wy, ny = _axis_strip(y1, bh, heights.astype(rois.dtype),
@@ -429,10 +439,15 @@ def multilevel_roi_align_pallas(feats, rois: Array,
             flatten anyway (the 2FC head) skip a re-tiling relayout.
 
     Returns:
-        [N, out_size, out_size, C] bfloat16 (f32 accumulation, one
-        final round) — identical sampling semantics to
-        `multilevel_roi_align` (aligned=True, static sample grid).
+        [N, out_size, out_size, C] bfloat16 (f32 dot accumulation, one
+        intermediate + one final bf16 round) — identical sampling
+        semantics to `multilevel_roi_align` (aligned=True, static
+        sample grid).
     """
+    assert sample_num > 0, (
+        'the Pallas kernel needs a static sample grid; sample_num=0 '
+        '(adaptive sampling_ratio=0 semantics) is served by the gather '
+        'formulation — see CascadeRoIHead._pool routing')
     fn = _make_pool_fn(tuple(strides), out_size, sample_num,
                        finest_scale, interpret, flat_out)
     return fn(list(feats), rois)

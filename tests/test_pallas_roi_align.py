@@ -87,3 +87,22 @@ def test_bbox_head_rank3_matches_rank4():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(reg3), np.asarray(reg4),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_right_edge_on_non_multiple_of_8_level():
+    """STF-like stride-8 level width 156 (>SPAN, not %8): the x-origin
+    clamp must bound against the PADDED width, or right-edge RoIs lose
+    their rightmost taps (zero weight) with no fallback trigger."""
+    rng = np.random.default_rng(31)
+    feats = [jnp.asarray(
+        rng.normal(0, 1, (312 // s, 1248 // s, 256)).astype(np.float32))
+        for s in (4, 8, 16, 32)]
+    rois_np = [[x2 - 112., y1, x2, y1 + 112.]
+               for x2 in (1247., 1240., 1200.) for y1 in (10., 100., 200.)]
+    rois_np += [[0., 0., 100., 80.], [600., 100., 710., 190.]]
+    rois = jnp.asarray(np.array(rois_np, np.float32))
+    ref = np.asarray(multilevel_roi_align(
+        feats, rois, [4, 8, 16, 32], gather_dtype=jnp.bfloat16))
+    got = np.asarray(_f32(multilevel_roi_align_pallas(
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET)))
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)

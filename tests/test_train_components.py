@@ -144,3 +144,21 @@ def test_lr_schedule():
     assert abs(float(sched(jnp.asarray(500))) - 3e-4) < 1e-9
     assert abs(float(sched(jnp.asarray(850))) - 3e-5) < 1e-9
     assert abs(float(sched(jnp.asarray(1150))) - 3e-6) < 1e-9
+
+
+def test_assigner_all_gts_invalid_marks_boxes_negative():
+    """Empty-GT images: the reference's num_gts == 0 branch marks every
+    box negative (background), not ignore (`max_iou_assigner.py:128-140`)
+    — ignore would silence the classifier loss on those images."""
+    import jax.numpy as jnp
+    from hrfuser_tpu.core.assigners import max_iou_assign
+    gt = jnp.zeros((3, 4))
+    gtl = jnp.zeros((3,), jnp.int32)
+    gtv = jnp.zeros((3,), bool)
+    boxes = jnp.asarray([[0., 0., 10., 10.], [5., 5., 30., 30.]])
+    bv = jnp.asarray([True, True])
+    res = max_iou_assign(gt, gtl, gtv, boxes, bv,
+                         pos_iou_thr=0.7, neg_iou_thr=0.3,
+                         min_pos_iou=0.3, match_low_quality=True)
+    assert (jnp.asarray(res.gt_inds) == 0).all()
+    assert (jnp.asarray(res.max_overlaps) == 0.0).all()
