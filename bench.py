@@ -10,13 +10,18 @@ reference's CUDA-10.1-era hardware); BASELINE.json's north star is >10x
 that proxy, i.e. vs_baseline >= 10.
 
 Methodology: steady-state streaming throughput. All iterations are
-enqueued back-to-back (the device executes XLA programs serially) and
-EVERY iteration's output is hard-synced to the host afterwards, so the
-measured window covers full execution of every step. Per-step latency
-(sync each step before issuing the next) is reported on stderr with
---latency. `jax.block_until_ready` is never used for timing: on this
-tunneled TPU platform it returns before execution finishes (see
-`hard_sync`).
+enqueued back-to-back and the LAST iteration's output is hard-synced to
+the host: the TPU executes XLA programs serially in submission order,
+so completion of step N proves completion of steps 1..N-1 (verified
+against XLA-module spans in profiler traces — N programs of ~equal
+device duration back-to-back). Round 2 synced EVERY output, which
+injected 30 extra sum-program dispatches + tunnel round-trips into the
+timed window and under-reported throughput by ~18% (the round-2
+"dispatch gap" — 46 vs 55 fps — was bench overhead, not device idle).
+Per-step latency (sync each step before issuing the next) is reported
+on stderr with --latency. `jax.block_until_ready` is never used for
+timing: on this tunneled TPU platform it returns before execution
+finishes (see `hard_sync`).
 """
 
 import argparse
@@ -61,6 +66,10 @@ def main():
                     help='override RoIAlign formulation (default: config)')
     ap.add_argument('--cf', choices=['auto', 'off', 'on'], default=None,
                     help='override backbone cf_layout (default: config)')
+    ap.add_argument('--roi-variant', choices=['v1', 'v2', 'v3'],
+                    default=None,
+                    help='override the Pallas RoIAlign kernel variant '
+                         '(default: config)')
     args = ap.parse_args()
 
     import dataclasses
@@ -85,6 +94,10 @@ def main():
         model_cfg = dataclasses.replace(
             model_cfg, backbone=dataclasses.replace(model_cfg.backbone,
                                                     cf_layout=args.cf))
+    if args.roi_variant:
+        model_cfg = dataclasses.replace(
+            model_cfg, roi=dataclasses.replace(
+                model_cfg.roi, pallas_variant=args.roi_variant))
     dtype = None if (args.f32 or args.quick) else jnp.bfloat16
     det = CascadeRCNN(model_cfg, dtype=dtype)
     nmod = cfg.model.backbone.num_fused_modalities
@@ -99,13 +112,12 @@ def main():
     out = pred(variables, img, mods if nmod else None)
     hard_sync(out)                                 # compile + real sync
 
-    # streaming throughput: enqueue everything, then verify completion
-    # of every step with a host sync
+    # streaming throughput: enqueue everything, then hard-sync the last
+    # output — in-order execution makes it prove completion of all
     t0 = time.perf_counter()
     outs = [pred(variables, img, mods if nmod else None)
             for _ in range(iters)]
-    for o in outs:
-        hard_sync(o)
+    hard_sync(outs[-1])
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
 
