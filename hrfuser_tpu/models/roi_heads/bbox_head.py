@@ -29,6 +29,10 @@ class _ChwOrderDense(nn.Module):
     spatial: Tuple[int, int]
     channels: int
     dtype: Optional[Any] = None
+    # row order of a flat [N, h*w, c] input: 'hw' (row-major, Pallas v1)
+    # or 'wh' (column-major, Pallas v2/v3) — absorbed into the same
+    # kernel permutation, so either order costs identically
+    flat_row_order: str = 'hw'
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -44,11 +48,15 @@ class _ChwOrderDense(nn.Module):
         k_hwc = kernel.reshape(c, h, w, self.features) \
             .transpose(1, 2, 0, 3)                       # [h, w, c, F]
         if x.ndim == 3:
-            # [N, h*w, c] straight from the Pallas pool: contract both
-            # trailing dims in one dot — no [7,7] re-tiling copies
-            return jnp.einsum(
-                'nqc,qcf->nf', x,
-                k_hwc.reshape(h * w, c, self.features)) + bias
+            # [N, h*w, c] straight from the Pallas pool: flatten the two
+            # trailing dims (a bitcast on the pool's row-major layout)
+            # and contract with one plain 2-D dot — the earlier
+            # einsum('nqc,qcf->nf') form made XLA relayout the pool
+            # output ({3,2,1,0} -> {3,1,2,0}, 0.64 ms/stage of copies)
+            if self.flat_row_order == 'wh':
+                k_hwc = k_hwc.transpose(1, 0, 2, 3)      # [w, h, c, F]
+            return x.reshape(*x.shape[:-2], h * w * c) @ \
+                k_hwc.reshape(h * w * c, self.features) + bias
         return x @ k_hwc.reshape(c * h * w, self.features) + bias
 
 
@@ -57,6 +65,9 @@ class Shared2FCBBoxHead(nn.Module):
     fc_out_channels: int = 1024
     reg_class_agnostic: bool = True
     dtype: Optional[Any] = None
+    # row order of flat [N, 49, C] inputs (Pallas flat_out); only the
+    # 3-dim input branch consults it — see `_ChwOrderDense`
+    flat_row_order: str = 'hw'
 
     @nn.compact
     def __call__(self, roi_feats: Array) -> Tuple[Array, Array]:
@@ -70,7 +81,9 @@ class Shared2FCBBoxHead(nn.Module):
             n, h, w, c = roi_feats.shape
             x = roi_feats.reshape(n, -1)
         x = nn.relu(_ChwOrderDense(self.fc_out_channels, (h, w), c,
-                                   dtype=self.dtype, name='shared_fc0')(x))
+                                   dtype=self.dtype,
+                                   flat_row_order=self.flat_row_order,
+                                   name='shared_fc0')(x))
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
                              name='shared_fc1')(x))
         cls_logits = nn.Dense(self.num_classes + 1, dtype=self.dtype,

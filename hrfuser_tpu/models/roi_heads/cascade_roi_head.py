@@ -59,6 +59,12 @@ class RoIHeadCfg:
     # (gather bf16) / 104 ms (gather f32) per 1000-RoI pool at batch 8
     # on v5e. 'gather' remains the f32-exact parity path.
     pool_method_eval: str = 'pallas'
+    # Pallas kernel variant (ops/pallas_roi_align.py): 'v1' = per-row
+    # staged dots; 'v3' = grouped block-diagonal dots (G rows per MXU
+    # issue — ~1.9x faster standalone, see ROUND3.md §7); 'v2' kept as
+    # a documented negative result. v2/v3 emit flat rows in (q, p)
+    # order, absorbed by the head's `flat_row_order='wh'`.
+    pallas_variant: str = 'v3'
     # gathers (and their backward scatters) are the dominant HBM traffic
     # of the 'gather' train step; bf16 halves it. False = exact f32.
     # For 'onehot' this selects the einsum input dtype (f32 accumulate).
@@ -83,9 +89,13 @@ class CascadeRoIHead(nn.Module):
     dtype: Optional[Any] = None
 
     def setup(self):
+        # flat [N, 49, C] inputs only come from the Pallas pool; its
+        # v2/v3 kernels emit (q, p) rows -> 'wh' kernel permutation
+        order = 'wh' if self.cfg.pallas_variant in ('v2', 'v3') else 'hw'
         self.bbox_heads = [
             Shared2FCBBoxHead(self.cfg.num_classes,
                               self.cfg.fc_out_channels, dtype=self.dtype,
+                              flat_row_order=order,
                               name=f'bbox_head{i}')
             for i in range(self.cfg.num_stages)
         ]
@@ -118,7 +128,8 @@ class CascadeRoIHead(nn.Module):
                 list(feats), rois, tuple(self.cfg.featmap_strides),
                 out_size=self.cfg.roi_size,
                 sample_num=self.cfg.sample_num,
-                finest_scale=self.cfg.finest_scale, flat_out=True)
+                finest_scale=self.cfg.finest_scale, flat_out=True,
+                variant=self.cfg.pallas_variant)
         return multilevel_roi_align(
             list(feats), rois, list(self.cfg.featmap_strides),
             out_size=self.cfg.roi_size, sample_num=self.cfg.sample_num,

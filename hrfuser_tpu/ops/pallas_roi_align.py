@@ -68,6 +68,10 @@ SPAN = 64
 # the dense-row variant), so the chunk mainly sizes the sx scratch and
 # the weight-block prefetch. Env override for tuning.
 CHUNK = int(__import__('os').environ.get('HRFUSER_ROI_CHUNK', '4'))
+# v3: window rows x-pooled per MXU issue (block-diagonal weights).
+# Swept on v5e at 8x1000 realistic RoIs (perf/r3_08_v3_sweep.log):
+# G=2: 23.2 ms, G=4: 17.9, G=8: 16.1-16.3 (vs v1 33.9) -> default 8.
+V3_GROUP = int(__import__('os').environ.get('HRFUSER_ROI_GROUP', '8'))
 # Widest RoIs routed through the exact gather path when any RoI's span
 # exceeds the window. The gather formulation costs ~0.3 ms per RoI-row
 # across the 3 cascade stages at batch 8 (measured: 36 ms/step at 128),
@@ -247,8 +251,221 @@ def _kernel(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
                 out_ref[0, r, p * out_size + q, :] = yp[p]
 
 
-def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret):
+def _kernel_v2(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
+               out_ref, sx_ref, *, c: int, out_size: int):
+    """v2: feed the x-pool dots straight from `flat_ref` slices.
+
+    v1 staged each window row into an `s_ref` scratch (a VMEM->VMEM
+    store + reload per row) so the upper half-window load could be
+    predicated. The same predication works on the dot itself: always
+    dot the lower [half, C] slice, and only for wide RoIs add the upper
+    slice's dot — narrow RoIs (the common case) then pay HALF the dot
+    K-rows and zero staging traffic. The y-pool emits one contiguous
+    [out_size, C] block per x-bin, i.e. rows in (q, p) order — one
+    store per q instead of `out_size` single-row stores; consumers get
+    the order via `flat_order='qp'`.
+    """
+    b = pl.program_id(0)
+    chunk_i = pl.program_id(1)
+    os8 = 8                                  # q rows per RoI, 8-aligned
+
+    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
+    def _init():
+        sx_ref[...] = jnp.zeros_like(sx_ref)
+
+    half = SPAN // 2
+    for r in range(CHUNK):
+        roi = chunk_i * CHUNK + r
+        base = base_ref[b, roi]
+        wl = wl_ref[b, roi]
+        wide = wide_ref[b, roi]
+        wx_r = wx_ref[0, r]                              # [7, SPAN]
+
+        def body(i, carry, base=base, wl=wl, wide=wide, wx_r=wx_r, r=r):
+            start = pl.multiple_of(base + i * wl, 8)
+            sx = jax.lax.dot_general(
+                wx_r[:, :half], flat_ref[0, pl.ds(start, half), :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [7(q), C]
+            sx_ref[i, r * os8:r * os8 + out_size, :] = sx.astype(
+                sx_ref.dtype)
+
+            @pl.when(wide > 0)
+            def _upper():
+                hi = jax.lax.dot_general(
+                    wx_r[:, half:],
+                    flat_ref[0, pl.ds(start + half, half), :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cur = sx_ref[i, r * os8:r * os8 + out_size, :]
+                sx_ref[i, r * os8:r * os8 + out_size, :] = (
+                    cur.astype(jnp.float32) + hi).astype(sx_ref.dtype)
+
+            return carry
+
+        jax.lax.fori_loop(0, ny_ref[b, roi], body, 0)
+
+    # y-pool per RoI / x-bin; one contiguous [out_size, C] store per q
+    for r in range(CHUNK):
+        wy_r = wy_ref[0, r]                              # [7, SPAN]
+        for q in range(out_size):
+            col = sx_ref[:, r * os8 + q, :]              # [SPAN, C]
+            yp = jax.lax.dot_general(
+                wy_r, col,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [7(p), C]
+            out_ref[0, r, q * out_size:(q + 1) * out_size, :] = yp.astype(
+                out_ref.dtype)
+
+
+def _kernel_v3(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
+               out_ref, s4_ref, w4_ref, sx_ref, *, c: int, out_size: int):
+    """v3: group G window rows per MXU issue.
+
+    The v1 kernel is ISSUE-bound, not bandwidth-bound (~0.6% MXU
+    utilization, ~212 ns/row measured on realistic RoIs): each window
+    row costs a loop iteration, a [7, SPAN] x [SPAN, C] dot issue and a
+    row store. v3 amortizes the fixed costs G ways: G rows are staged
+    into one [G*SPAN, C] scratch and x-pooled by ONE
+    [G*8, G*SPAN] @ [G*SPAN, C] dot against a block-diagonal weight
+    (G copies of the RoI's Wx strip on the diagonal, zeros elsewhere —
+    zeros also cancel the stale upper half-windows of narrow RoIs and
+    the stale rows past `ny`, exactly as in v1). The y-pool emits one
+    contiguous [out_size, C] store per x-bin ((q, p) row order, 7
+    stores/RoI instead of v1's 49 single-row stores).
+    """
+    b = pl.program_id(0)
+    chunk_i = pl.program_id(1)
+    os8 = 8
+    g8 = V3_GROUP * 8
+
+    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
+    def _init():
+        s4_ref[...] = jnp.zeros_like(s4_ref)
+        w4_ref[...] = jnp.zeros_like(w4_ref)
+        sx_ref[...] = jnp.zeros_like(sx_ref)
+
+    half = SPAN // 2
+    for r in range(CHUNK):
+        roi = chunk_i * CHUNK + r
+        base = base_ref[b, roi]
+        wl = wl_ref[b, roi]
+        wide = wide_ref[b, roi]
+        wx_r = wx_ref[0, r]                              # [7, SPAN]
+        # block-diagonal weights: G copies of Wx on the diagonal
+        # (off-diagonal stays zero from _init; only the blocks change
+        # between RoIs)
+        for g in range(V3_GROUP):
+            w4_ref[g * 8:g * 8 + out_size,
+                   g * SPAN:(g + 1) * SPAN] = wx_r
+
+        def body(i, carry, base=base, wl=wl, wide=wide, r=r):
+            for g in range(V3_GROUP):
+                start = pl.multiple_of(base + (i * V3_GROUP + g) * wl, 8)
+                s4_ref[g * SPAN:g * SPAN + half, :] = flat_ref[
+                    0, pl.ds(start, half), :]
+
+                @pl.when(wide > 0)
+                def _upper(start=start, g=g):
+                    s4_ref[g * SPAN + half:(g + 1) * SPAN, :] = flat_ref[
+                        0, pl.ds(start + half, half), :]
+
+            res = jax.lax.dot_general(
+                w4_ref[...], s4_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [G*8, C]
+            res = res.astype(sx_ref.dtype)
+            for g in range(V3_GROUP):
+                sx_ref[i * V3_GROUP + g,
+                       r * os8:r * os8 + out_size, :] = (
+                    res[g * 8:g * 8 + out_size, :])
+            return carry
+
+        n_iter = (ny_ref[b, roi] + V3_GROUP - 1) // V3_GROUP
+        jax.lax.fori_loop(0, n_iter, body, 0)
+
+    # y-pool: one contiguous [out_size, C] store per x-bin -> (q, p)
+    for r in range(CHUNK):
+        wy_r = wy_ref[0, r]                              # [7, SPAN]
+        for q in range(out_size):
+            col = sx_ref[:, r * os8 + q, :]              # [SPAN, C]
+            yp = jax.lax.dot_general(
+                wy_r, col,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [7(p), C]
+            out_ref[0, r, q * out_size:(q + 1) * out_size, :] = yp.astype(
+                out_ref.dtype)
+
+
+def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret,
+          variant: str = 'v1'):
     grid = (bsz, n // CHUNK)
+    if variant == 'v3':
+        assert SPAN % V3_GROUP == 0, (V3_GROUP, SPAN)
+        return pl.pallas_call(
+            functools.partial(_kernel_v3, c=c, out_size=out_size),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, flat.shape[1], c),
+                                 lambda b, i, *_: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, out_size, SPAN),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, out_size, SPAN),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, CHUNK, out_size * out_size, c),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((V3_GROUP * SPAN, c), jnp.bfloat16),
+                    pltpu.VMEM((V3_GROUP * 8, V3_GROUP * SPAN),
+                               jnp.bfloat16),
+                    pltpu.VMEM((SPAN, CHUNK * 8, c), jnp.bfloat16),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
+                                           jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(base, wl, ny, wide, flat, wy, wx)
+    if variant == 'v2':
+        return pl.pallas_call(
+            functools.partial(_kernel_v2, c=c, out_size=out_size),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, flat.shape[1], c),
+                                 lambda b, i, *_: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, out_size, SPAN),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, out_size, SPAN),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, CHUNK, out_size * out_size, c),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((SPAN, CHUNK * 8, c), jnp.bfloat16),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
+                                           jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(base, wl, ny, wide, flat, wy, wx)
     return pl.pallas_call(
         functools.partial(_kernel, c=c, out_size=out_size),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -286,11 +503,12 @@ def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret):
 
 
 def _pool_batched(feats, rois, strides, out_size, sample_num,
-                  finest_scale, interpret, flat_out=False):
+                  finest_scale, interpret, flat_out=False, variant='v1'):
     """Batched implementation: feats [B, H_l, W_l, C] per level,
     rois [B, N, 4] -> [B, N, out, out, C] bf16 (or [B, N, out*out, C]
-    when `flat_out` — the kernel's native row order, sparing the
-    consumer the [out, out] re-tiling relayout)."""
+    when `flat_out` — the kernel's native row order: (p, q) for v1,
+    (q, p) for v2, sparing the consumer the [out, out] re-tiling
+    relayout)."""
     c = feats[0].shape[-1]
     assert out_size <= 8, (
         f'kernel scratch packs one RoI per 8 sublanes (os8=8); '
@@ -326,10 +544,12 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     flat = jnp.pad(flat, ((0, 0), (0, max(0, read_end - total)), (0, 0)))
 
     out = _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size,
-                interpret)
-    # kernel emits rows in (p, q) order already: [B, N, out*out, C]
+                interpret, variant)
+    # v1 emits rows in (p, q) order, v2 in (q, p)
     if not flat_out:
         out = out.reshape(bsz, n, out_size, out_size, c)
+        if variant in ('v2', 'v3'):
+            out = out.swapaxes(2, 3)                 # (q, p) -> (p, q)
 
     # Exact fallback for RoIs whose feature-space span exceeds the
     # window (aspect ratio beyond ~(SPAN/28)^2). Tiered so the common
@@ -356,11 +576,16 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     oversize = spans > SPAN - 9
     n_over_max = oversize.sum(axis=-1).max()
 
+    # gather oracle emits (p, q); v2's flat layout is (q, p)
+    qp_flat = flat_out and variant in ('v2', 'v3')
+
     def gather_all_fn():
         full = jax.vmap(lambda f, r: multilevel_roi_align(
             f, r, list(strides), out_size=out_size,
             sample_num=sample_num, finest_scale=finest_scale,
             gather_dtype=dt))(feats, rois).astype(out.dtype)
+        if qp_flat:
+            full = full.swapaxes(2, 3)
         return full.reshape(out.shape)
 
     def merge_fn():
@@ -371,6 +596,8 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
                 feats_i, rois_i[fb_idx], list(strides), out_size=out_size,
                 sample_num=sample_num, finest_scale=finest_scale,
                 gather_dtype=dt).astype(out_i.dtype)
+            if qp_flat:
+                fb_out = fb_out.swapaxes(1, 2)
             fb_out = fb_out.reshape((fb,) + out_i.shape[1:])
             mask = (span_i[fb_idx] > SPAN - 9).reshape(
                 (fb,) + (1,) * (out_i.ndim - 1))
@@ -389,7 +616,7 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
 
 @functools.lru_cache(maxsize=None)
 def _make_pool_fn(strides, out_size, sample_num, finest_scale,
-                  interpret, flat_out):
+                  interpret, flat_out, variant):
     """Build the single-image entry with a custom vmap rule that maps
     straight onto the batched kernel grid (instead of jax's fallback
     loop-over-batch, which serialized 8 single-image Pallas calls)."""
@@ -398,7 +625,7 @@ def _make_pool_fn(strides, out_size, sample_num, finest_scale,
     def fn(feats, rois):
         out = _pool_batched([f[None] for f in feats], rois[None],
                             strides, out_size, sample_num, finest_scale,
-                            interpret, flat_out)
+                            interpret, flat_out, variant)
         return out[0]
 
     @fn.def_vmap
@@ -411,7 +638,7 @@ def _make_pool_fn(strides, out_size, sample_num, finest_scale,
             rois = jnp.broadcast_to(rois[None],
                                     (axis_size,) + rois.shape)
         out = _pool_batched(feats, rois, strides, out_size, sample_num,
-                            finest_scale, interpret, flat_out)
+                            finest_scale, interpret, flat_out, variant)
         return out, True
 
     return fn
@@ -419,13 +646,15 @@ def _make_pool_fn(strides, out_size, sample_num, finest_scale,
 
 @functools.partial(jax.jit, static_argnames=('strides', 'out_size',
                                              'sample_num', 'finest_scale',
-                                             'interpret', 'flat_out'))
+                                             'interpret', 'flat_out',
+                                             'variant'))
 def multilevel_roi_align_pallas(feats, rois: Array,
                                 strides=(4, 8, 16, 32),
                                 out_size: int = 7, sample_num: int = 2,
                                 finest_scale: int = 56,
                                 interpret: bool = False,
-                                flat_out: bool = False) -> Array:
+                                flat_out: bool = False,
+                                variant: str = 'v1') -> Array:
     """Fused RoIAlign over an FPN pyramid (single image; `vmap` maps
     onto a native (batch, chunk) kernel grid).
 
@@ -449,5 +678,5 @@ def multilevel_roi_align_pallas(feats, rois: Array,
         '(adaptive sampling_ratio=0 semantics) is served by the gather '
         'formulation — see CascadeRoIHead._pool routing')
     fn = _make_pool_fn(tuple(strides), out_size, sample_num,
-                       finest_scale, interpret, flat_out)
+                       finest_scale, interpret, flat_out, variant)
     return fn(list(feats), rois)

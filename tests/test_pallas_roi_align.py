@@ -21,7 +21,8 @@ def _feats(rng, h0=96, w0=160, c=256, levels=4):
         for i in range(levels)]
 
 
-def test_pallas_roi_align_matches_gather():
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3'])
+def test_pallas_roi_align_matches_gather(variant):
     rng = np.random.default_rng(0)
     feats = _feats(rng, h0=64, w0=96, c=256)
     # spans covering every level incl. edge/outside cases
@@ -38,12 +39,14 @@ def test_pallas_roi_align_matches_gather():
     ref = np.asarray(multilevel_roi_align(
         feats, rois, [4, 8, 16, 32], gather_dtype=jnp.bfloat16))
     got = np.asarray(_f32(multilevel_roi_align_pallas(
-        feats, rois, (4, 8, 16, 32), interpret=INTERPRET)))
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET,
+        variant=variant)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-def test_pallas_roi_align_larger_batch_of_rois():
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3'])
+def test_pallas_roi_align_larger_batch_of_rois(variant):
     rng = np.random.default_rng(1)
     feats = _feats(rng, h0=96, w0=160, c=256)
     n = 64
@@ -56,40 +59,55 @@ def test_pallas_roi_align_larger_batch_of_rois():
     ref = np.asarray(multilevel_roi_align(
         feats, rois, [4, 8, 16, 32], gather_dtype=jnp.bfloat16))
     got = np.asarray(_f32(multilevel_roi_align_pallas(
-        feats, rois, (4, 8, 16, 32), interpret=INTERPRET)))
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET,
+        variant=variant)))
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-def test_pallas_flat_out_matches_reshaped():
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3'])
+def test_pallas_flat_out_matches_reshaped(variant):
+    """flat_out returns the kernel's native row order: (p, q) rows for
+    v1, (q, p) for v2 — consumers undo it via the documented order."""
     rng = np.random.default_rng(2)
     feats = _feats(rng, h0=64, w0=96, c=256)
     wh = rng.uniform(4, 300, (16, 2))
     xy = rng.uniform(0, 1, (16, 2)) * (np.array([380., 250.]) - wh)
     rois = jnp.asarray(np.concatenate([xy, xy + wh], -1), np.float32)
     full = np.asarray(multilevel_roi_align_pallas(
-        feats, rois, (4, 8, 16, 32), interpret=INTERPRET))
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET, variant=variant))
     flat = np.asarray(multilevel_roi_align_pallas(
-        feats, rois, (4, 8, 16, 32), interpret=INTERPRET, flat_out=True))
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET, flat_out=True,
+        variant=variant))
     assert flat.shape == (16, 49, 256)
-    np.testing.assert_array_equal(flat.reshape(full.shape), full)
+    grid = flat.reshape(16, 7, 7, 256)
+    if variant in ('v2', 'v3'):
+        grid = grid.swapaxes(1, 2)
+    np.testing.assert_array_equal(grid, full)
 
 
-def test_bbox_head_rank3_matches_rank4():
+@pytest.mark.parametrize('order', ['hw', 'wh'])
+def test_bbox_head_rank3_matches_rank4(order):
+    """Flat [N, 49, C] input matches the [N, 7, 7, C] path in both row
+    orders: 'hw' (Pallas v1) and 'wh' (v2/v3 — rows transposed, kernel
+    permutation compensates)."""
     import jax as _jax
     from hrfuser_tpu.models.roi_heads.bbox_head import Shared2FCBBoxHead
     rng = np.random.default_rng(3)
     x4 = jnp.asarray(rng.normal(0, 1, (10, 7, 7, 32)), jnp.float32)
-    head = Shared2FCBBoxHead(num_classes=4, fc_out_channels=64)
+    head = Shared2FCBBoxHead(num_classes=4, fc_out_channels=64,
+                             flat_row_order=order)
     vs = head.init(_jax.random.PRNGKey(0), x4)
     cls4, reg4 = head.apply(vs, x4)
-    cls3, reg3 = head.apply(vs, x4.reshape(10, 49, 32))
+    x3 = x4 if order == 'hw' else x4.swapaxes(1, 2)
+    cls3, reg3 = head.apply(vs, x3.reshape(10, 49, 32))
     np.testing.assert_allclose(np.asarray(cls3), np.asarray(cls4),
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(reg3), np.asarray(reg4),
                                atol=1e-5, rtol=1e-5)
 
 
-def test_pallas_right_edge_on_non_multiple_of_8_level():
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3'])
+def test_pallas_right_edge_on_non_multiple_of_8_level(variant):
     """STF-like stride-8 level width 156 (>SPAN, not %8): the x-origin
     clamp must bound against the PADDED width, or right-edge RoIs lose
     their rightmost taps (zero weight) with no fallback trigger."""
@@ -104,5 +122,6 @@ def test_pallas_right_edge_on_non_multiple_of_8_level():
     ref = np.asarray(multilevel_roi_align(
         feats, rois, [4, 8, 16, 32], gather_dtype=jnp.bfloat16))
     got = np.asarray(_f32(multilevel_roi_align_pallas(
-        feats, rois, (4, 8, 16, 32), interpret=INTERPRET)))
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET,
+        variant=variant)))
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
