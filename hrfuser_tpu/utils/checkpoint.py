@@ -72,12 +72,22 @@ def load_weights(ckpt_path: str, variables: Dict) -> Dict:
     out = {'params': restored['params'],
            'batch_stats': restored.get('batch_stats', {})}
 
-    # sanity-check the tree matches the initialized variables
-    want = jax.tree_util.tree_structure(
-        {'params': variables['params'],
-         'batch_stats': variables.get('batch_stats', {})})
-    got = jax.tree_util.tree_structure(out)
-    if want != got:
-        raise ValueError(
-            f'checkpoint tree does not match the model: {path}')
+    want_tree = {'params': variables['params'],
+                 'batch_stats': variables.get('batch_stats', {})}
+    want = jax.tree_util.tree_structure(want_tree)
+    if jax.tree_util.tree_structure(out) != want:
+        # `.pth`-converted checkpoints legitimately carry EXTRA leaves
+        # (the converter dual-emits transition weights because it cannot
+        # know which forward variant a config uses — see
+        # `pth_convert.convert_state_dict`). Drop extras; still refuse
+        # checkpoints MISSING leaves the model needs.
+        flat_got = dict(jax.tree_util.tree_flatten_with_path(out)[0])
+        flat_want = jax.tree_util.tree_flatten_with_path(want_tree)[0]
+        missing = [k for k, _ in flat_want if k not in flat_got]
+        if missing:
+            raise ValueError(
+                f'checkpoint at {path} is missing {len(missing)} leaves '
+                f'the model needs, e.g. {missing[:3]}')
+        pruned = [flat_got[k] for k, _ in flat_want]
+        out = jax.tree_util.tree_unflatten(want, pruned)
     return out

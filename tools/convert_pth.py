@@ -58,9 +58,13 @@ def main():
 
     import os
     path = os.path.abspath(os.path.join(args.out_dir, 'converted'))
-    ocp.StandardCheckpointer().save(
-        path, {'params': converted['params'],
-               'batch_stats': converted['batch_stats']}, force=True)
+    # context-manage the checkpointer: its metadata commit is async and
+    # gets severed at interpreter shutdown otherwise (incomplete ckpt)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {'params': converted['params'],
+                          'batch_stats': converted['batch_stats']},
+                   force=True)
+        ckptr.wait_until_finished()
     print(f'[convert] saved -> {path}')
 
 

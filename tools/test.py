@@ -89,6 +89,10 @@ def main():
         nvalid = int(np.asarray(out.valid).sum())
         print(f'[synthetic] {b} imgs in {dt * 1e3:.1f} ms '
               f'({b / dt:.1f} img/s); {nvalid} detections')
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump({'synthetic_img_per_s': round(b / dt, 2),
+                           'num_detections': nvalid}, f, indent=2)
         return
 
     from hrfuser_tpu.apis.test import evaluate, run_inference
