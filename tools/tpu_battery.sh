@@ -1,7 +1,9 @@
 #!/bin/bash
 # Serial TPU measurement battery. The tunnel is flaky — when it comes
 # back, run this once; every step logs to $OUT and survives individual
-# failures, so one good window captures everything.
+# failures LOUDLY: each step's rc lands in summary.json and the final
+# line flags any non-zero step (VERDICT r2 #9 — an empty log must not
+# read as success).
 #
 #   bash tools/tpu_battery.sh [/tmp/tpu_battery]
 set -u
@@ -9,35 +11,53 @@ OUT=${1:-/tmp/tpu_battery}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+SUMMARY="$OUT/summary.json"
+echo '{' > "$SUMMARY"
+FIRST=1
+FAILED=()
+
 step() {
     name=$1; shift
     echo "=== $name: $* ==="
-    ( timeout 900 "$@" ) >"$OUT/$name.log" 2>&1
-    echo "--- rc=$? (tail) ---"
+    local t0=$SECONDS
+    ( timeout 1500 "$@" ) >"$OUT/$name.log" 2>&1
+    local rc=$?
+    local dt=$((SECONDS - t0))
+    if [ $rc -ne 0 ]; then
+        echo "!!! $name FAILED rc=$rc after ${dt}s (tail below)"
+        FAILED+=("$name")
+    else
+        echo "--- $name ok rc=0 ${dt}s (tail) ---"
+    fi
     tail -3 "$OUT/$name.log"
+    [ $FIRST -eq 0 ] && echo ',' >> "$SUMMARY"
+    FIRST=0
+    printf '  "%s": {"rc": %d, "seconds": %d}' "$name" "$rc" "$dt" \
+        >> "$SUMMARY"
 }
 
 step 00_devices python -u -c "import jax; print(jax.devices())"
 
-# headline bench (committed defaults: cf auto + dynamic-row kernel)
+# headline bench (committed defaults: cf auto + v1 kernel, last-sync)
 step 10_bench python bench.py --latency
 # A/B: layout off (isolates the CF win)
 step 11_bench_cf_off python bench.py --cf off
 # A/B: bigger batch frontier
 step 12_bench_b16 python bench.py --batch 16
 
-# full-model trace at batch 8 for the op breakdown
+# full-model trace at batch 8 for the op breakdown (+ grouped)
 step 20_trace python tools/profile.py \
     cascade_rcnn_hrfuser_t_1x_nus_r640_l_r_fusion \
     --mode infer --batch 8 --bf16 --trace-dir "$OUT/trace_infer"
 step 21_trace_ops python tools/trace_ops.py "$OUT/trace_infer" --top 25
+step 22_trace_groups python tools/trace_groups.py "$OUT/trace_infer"
 
-# standalone RoIAlign kernel (compare: 11.60 ms/stage dense-row CHUNK=4)
-step 30_roi_kernel python tools/trace_roi_kernel.py "$OUT/trace_roi"
-step 31_roi_ops python tools/trace_ops.py "$OUT/trace_roi" --top 4
+# roofline numerator: FLOPs + cost-analysis bytes
+step 25_flops python tools/get_flops.py \
+    cascade_rcnn_hrfuser_t_1x_nus_r640_l_r_fusion --batch 8 --bf16
 
-# NHWC vs channels-first block-chain probe
-step 40_layout python tools/probe_layout.py --trace-dir "$OUT/probe_layout"
+# standalone RoIAlign kernel A/B on a realistic RoI distribution
+step 30_roi_lab python tools/roi_kernel_lab.py --variants v1 --check
 
 # train: convergence smoke + honest throughput
 step 50_overfit python tools/train.py tiny_fusion_test --synthetic \
@@ -46,4 +66,11 @@ step 51_train_tput python tools/profile.py \
     cascade_rcnn_hrfuser_t_1x_nus_r640_l_r_fusion \
     --mode train --batch 8 --bf16 --remat
 
-echo "=== battery done; logs in $OUT ==="
+echo '' >> "$SUMMARY"
+echo '}' >> "$SUMMARY"
+echo "=== battery done; logs in $OUT; summary: ==="
+cat "$SUMMARY"
+if [ ${#FAILED[@]} -gt 0 ]; then
+    echo "!!! FAILED steps: ${FAILED[*]}"
+    exit 1
+fi
