@@ -72,13 +72,14 @@ CHUNK = int(__import__('os').environ.get('HRFUSER_ROI_CHUNK', '4'))
 # Swept on v5e at 8x1000 realistic RoIs (perf/r3_08_v3_sweep.log):
 # G=2: 23.2 ms, G=4: 17.9, G=8: 16.1-16.3 (vs v1 33.9) -> default 8.
 V3_GROUP = int(__import__('os').environ.get('HRFUSER_ROI_GROUP', '8'))
-# Widest RoIs routed through the exact gather path when any RoI's span
-# exceeds the window. The gather formulation costs ~0.3 ms per RoI-row
-# across the 3 cascade stages at batch 8 (measured: 36 ms/step at 128),
-# so the steady-state budget is small — and exactness does NOT depend
-# on it: batches with zero oversize RoIs skip the fallback entirely,
-# and batches with more than FALLBACK oversize RoIs in an image escape
-# to a full gather re-pool (see the tiered cond in `_pool_batched`).
+# Widest RoIs routed through the exact gather path per fallback-loop
+# iteration when any RoI's span exceeds the window. The gather
+# formulation costs ~0.3 ms per RoI-row across the 3 cascade stages at
+# batch 8 (measured: 36 ms/step at 128), so the steady-state budget is
+# small — and exactness does NOT depend on it: batches with zero
+# oversize RoIs run zero loop iterations, and batches with more than
+# FALLBACK oversize RoIs in an image just take more iterations (see
+# the while_loop in `_pool_batched`).
 FALLBACK = 16
 
 
@@ -552,15 +553,21 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
             out = out.swapaxes(2, 3)                 # (q, p) -> (p, q)
 
     # Exact fallback for RoIs whose feature-space span exceeds the
-    # window (aspect ratio beyond ~(SPAN/28)^2). Tiered so the common
-    # case pays nothing:
-    #   * no oversize RoIs (typical batch) -> kernel output as-is;
-    #   * <= FALLBACK oversize per image   -> re-pool just those via the
-    #     gather formulation and merge by mask;
-    #   * > FALLBACK oversize (pathological, e.g. stage-2/3 regression
-    #     blowing up aspect ratios in a cluttered image) -> re-pool
-    #     EVERYTHING via gather. Exact for every input, never silently
-    #     truncated; XLA compiles all tiers, `cond` executes one.
+    # window (aspect ratio beyond ~(SPAN/28)^2), as a `while_loop` that
+    # runs ZERO iterations for the typical batch. Each iteration
+    # re-pools the FALLBACK widest remaining RoIs per image via the
+    # gather formulation and scatter-merges them, so any oversize count
+    # is handled exactly in ceil(max_over / FALLBACK) iterations.
+    #
+    # Why a while and not a cond: `lax.cond` branches returning the
+    # [B, N, 49, C] pool (~100 MB bf16 at b8) forced XLA to copy the
+    # kernel output into the conditional's operand + result buffers —
+    # 2 x 0.69 ms/stage of pure copies even when NO fallback ran
+    # (perf/r3_12 %cond.21/%copy.17915), and the unexecuted gather-all
+    # branch's [B, N*49, R] temps (5 x 2.99 GB at b32) were allocated
+    # anyway, OOMing large batches. The while carries the pool buffer
+    # in place (XLA aliases loop carries) and its body only ever
+    # materializes [fb, 49, C]-sized temps.
     from hrfuser_tpu.ops.roi_align import multilevel_roi_align
     num_levels = len(strides)
     inv_strides = jnp.asarray([1.0 / s for s in strides], rois.dtype)
@@ -573,44 +580,33 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
 
     spans = jax.vmap(span_of)(rois)                      # [B, N]
     # margin: +1 hi-tap, +7 x-origin alignment shift
-    oversize = spans > SPAN - 9
-    n_over_max = oversize.sum(axis=-1).max()
+    thresh = jnp.asarray(SPAN - 9, spans.dtype)
+    fb = min(FALLBACK, n)
 
-    # gather oracle emits (p, q); v2's flat layout is (q, p)
+    # gather oracle emits (p, q); v2/v3's flat layout is (q, p)
     qp_flat = flat_out and variant in ('v2', 'v3')
 
-    def gather_all_fn():
-        full = jax.vmap(lambda f, r: multilevel_roi_align(
-            f, r, list(strides), out_size=out_size,
+    def merge_widest(feats_i, rois_i, span_i, out_i):
+        _, fb_idx = jax.lax.top_k(span_i, fb)
+        fb_out = multilevel_roi_align(
+            feats_i, rois_i[fb_idx], list(strides), out_size=out_size,
             sample_num=sample_num, finest_scale=finest_scale,
-            gather_dtype=dt))(feats, rois).astype(out.dtype)
+            gather_dtype=dt).astype(out_i.dtype)
         if qp_flat:
-            full = full.swapaxes(2, 3)
-        return full.reshape(out.shape)
+            fb_out = fb_out.swapaxes(1, 2)
+        fb_out = fb_out.reshape((fb,) + out_i.shape[1:])
+        mask = (span_i[fb_idx] > thresh).reshape(
+            (fb,) + (1,) * (out_i.ndim - 1))
+        out_i = out_i.at[fb_idx].set(
+            jnp.where(mask, fb_out, out_i[fb_idx]))
+        # mark the selected RoIs handled so the next iteration (if any)
+        # picks the next-widest ones
+        return out_i, span_i.at[fb_idx].set(-1.0)
 
-    def merge_fn():
-        def merge_one(feats_i, rois_i, span_i, out_i):
-            fb = min(FALLBACK, n)
-            _, fb_idx = jax.lax.top_k(span_i, fb)
-            fb_out = multilevel_roi_align(
-                feats_i, rois_i[fb_idx], list(strides), out_size=out_size,
-                sample_num=sample_num, finest_scale=finest_scale,
-                gather_dtype=dt).astype(out_i.dtype)
-            if qp_flat:
-                fb_out = fb_out.swapaxes(1, 2)
-            fb_out = fb_out.reshape((fb,) + out_i.shape[1:])
-            mask = (span_i[fb_idx] > SPAN - 9).reshape(
-                (fb,) + (1,) * (out_i.ndim - 1))
-            return out_i.at[fb_idx].set(
-                jnp.where(mask, fb_out, out_i[fb_idx]))
-
-        return jax.vmap(merge_one)(feats, rois, spans, out)
-
-    out = jax.lax.cond(
-        n_over_max == 0,
-        lambda: out,
-        lambda: jax.lax.cond(n_over_max <= FALLBACK, merge_fn,
-                             gather_all_fn))
+    out, _ = jax.lax.while_loop(
+        lambda c: (c[1] > thresh).any(),
+        lambda c: jax.vmap(merge_widest)(feats, rois, c[1], c[0]),
+        (out, spans))
     return out[:, :n_in]
 
 

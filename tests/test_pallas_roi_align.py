@@ -125,3 +125,26 @@ def test_pallas_right_edge_on_non_multiple_of_8_level(variant):
         feats, rois, (4, 8, 16, 32), interpret=INTERPRET,
         variant=variant)))
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize('variant', ['v1', 'v3'])
+def test_pallas_many_oversize_rois_multi_iteration_fallback(variant):
+    """More oversize RoIs per image than FALLBACK: the fallback
+    while_loop must run multiple iterations and still be exact."""
+    from hrfuser_tpu.ops import pallas_roi_align as pra
+    rng = np.random.default_rng(7)
+    feats = _feats(rng, h0=96, w0=160, c=256)
+    # 24 > FALLBACK=16 extreme-aspect boxes (span > SPAN after routing)
+    # mixed with normal ones.
+    wide = [[5. + i, 40., 620. + i, 52.] for i in range(12)]
+    tall = [[30. + i, 2., 44. + i, 370.] for i in range(12)]
+    normal = [[10., 10., 120., 100.], [200., 80., 320., 200.],
+              [0., 0., 60., 60.], [100., 100., 400., 300.]]
+    rois = jnp.asarray(np.array(wide + tall + normal, np.float32))
+    assert len(wide + tall) > pra.FALLBACK
+    ref = np.asarray(multilevel_roi_align(
+        feats, rois, [4, 8, 16, 32], gather_dtype=jnp.bfloat16))
+    got = np.asarray(_f32(multilevel_roi_align_pallas(
+        feats, rois, (4, 8, 16, 32), interpret=INTERPRET,
+        variant=variant)))
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
