@@ -64,6 +64,20 @@ def resolve_layout(mode: str, h: int, w: int, c: int) -> str:
     return 'nhwc'
 
 
+def resolve_fused(mode: str, train: bool) -> bool:
+    """Map the `fused_block` knob to a per-call decision.
+
+    The fused Pallas block kernels are eval-only (no custom VJP) and
+    TPU-only under 'auto' (interpret mode is orders of magnitude too
+    slow for CPU runs — same routing rule as the RoIAlign kernel)."""
+    if train or mode == 'off':
+        return False
+    if mode == 'on':
+        return True
+    import jax
+    return jax.default_backend() == 'tpu'
+
+
 class RelativePositionBias(nn.Module):
     """Swin-style relative position bias for one window shape."""
     window_size: int
@@ -248,6 +262,11 @@ class HRFormerBlock(nn.Module):
     """LN -> LSA -> +residual; LN -> CrossFFN -> +residual; with DropPath.
 
     (`hrformer.py:298-386`). Input/output NHWC.
+
+    `fused=True` routes eval-mode calls through the fully-fused Pallas
+    block kernels (`ops/pallas_block.py`) — same parameters, same math
+    (BNs folded with running stats), two HBM round-trips per block
+    instead of dozens. Training and init always use the flax path.
     """
     num_heads: int
     window_size: int = 7
@@ -255,10 +274,17 @@ class HRFormerBlock(nn.Module):
     drop_path: float = 0.0
     proj_drop: float = 0.0
     layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
+    fused: bool = False                  # eval-only Pallas fused path
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
+        if (self.fused and not train and not self.is_initializing()
+                and self.layout == 'nhwc'):
+            from hrfuser_tpu.ops.pallas_block import fused_hrformer_block
+            return fused_hrformer_block(x, self.variables,
+                                        num_heads=self.num_heads,
+                                        window=self.window_size)
         ax = 1 if self.layout == 'cf' else -1
         c = x.shape[ax]
         det = not train
@@ -294,11 +320,18 @@ class HRFuserFusionBlock(nn.Module):
     drop_path: float = 0.0
     proj_drop: float = 0.0
     layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
+    fused: bool = False                  # eval-only Pallas fused path
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, mods: List[Array], train: bool) -> Array:
         assert len(mods) == self.num_modalities
+        if (self.fused and not train and not self.is_initializing()
+                and self.layout == 'nhwc'):
+            from hrfuser_tpu.ops.pallas_block import fused_fusion_block
+            return fused_fusion_block(x, list(mods), self.variables,
+                                      num_heads=self.num_heads,
+                                      window=self.window_size)
         ax = 1 if self.layout == 'cf' else -1
         c = x.shape[ax]
         det = not train

@@ -74,6 +74,13 @@ class HRBackboneCfg:
     # branch from static shapes; see `layers.attention.prefer_cf`).
     # Checkpoint-compatible either way: both layouts share parameters.
     cf_layout: str = 'auto'                  # 'off' | 'auto' | 'on'
+    # Eval-mode fully-fused Pallas block kernels (ops/pallas_block.py):
+    # one kernel for LN+window-attention+proj+residual, one for
+    # LN+CrossFFN+residual. 'auto' enables them on TPU backends only;
+    # training always uses the flax path (kernels have no custom VJP).
+    # Default 'off': measured a wash vs XLA at branch-0 (3.38 vs 3.30
+    # ms/block) — flip to 'auto' only behind a full-model A/B win.
+    fused_block: str = 'off'                 # 'off' | 'auto' | 'on'
 
     @property
     def pre_neck_fusion(self) -> bool:

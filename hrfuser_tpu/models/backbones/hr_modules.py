@@ -13,7 +13,8 @@ from typing import Any, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hrfuser_tpu.layers.attention import HRFormerBlock, resolve_layout
+from hrfuser_tpu.layers.attention import (HRFormerBlock, resolve_fused,
+                                           resolve_layout)
 from hrfuser_tpu.layers.common import (ConvNorm, ResLayer, bilinear_resize,
                                        nearest_up)
 from hrfuser_tpu.models.backbones.hr_config import StageCfg
@@ -146,6 +147,7 @@ class HRModule(nn.Module):
     multiscale_output: bool = True
     module_index: int = 0                    # for the drop-path schedule
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
+    fused_block: str = 'off'                 # 'off' | 'auto' | 'on'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -163,7 +165,9 @@ class HRModule(nn.Module):
                 nblk = s.num_blocks[i]
                 base = self.module_index * s.num_blocks[0]
                 b, h, w, c = x.shape
-                layout = resolve_layout(self.cf_layout, h, w, c)
+                fused = resolve_fused(self.fused_block, train)
+                layout = ('nhwc' if fused
+                          else resolve_layout(self.cf_layout, h, w, c))
                 if layout == 'cf':
                     x = x.transpose(0, 3, 1, 2)          # NHWC -> [B,C,H,W]
                 for j in range(nblk):
@@ -173,7 +177,8 @@ class HRModule(nn.Module):
                         num_heads=s.num_heads[i],
                         window_size=s.window_sizes[i],
                         mlp_ratio=s.mlp_ratios[i],
-                        drop_path=dp, layout=layout, dtype=self.dtype,
+                        drop_path=dp, layout=layout, fused=fused,
+                        dtype=self.dtype,
                         name=f'branch{i}_block{j}')(x, train)
                 if layout == 'cf':
                     x = x.transpose(0, 2, 3, 1)          # back to NHWC
@@ -217,6 +222,7 @@ class HRStage(nn.Module):
     multiscale_output: bool = True
     remat: bool = False
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
+    fused_block: str = 'off'                 # 'off' | 'auto' | 'on'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -230,7 +236,8 @@ class HRStage(nn.Module):
         for m in range(s.num_modules):
             ms_out = self.multiscale_output or m < s.num_modules - 1
             xs = mod_cls(s, chans, ms_out, module_index=m,
-                         cf_layout=self.cf_layout, dtype=self.dtype,
+                         cf_layout=self.cf_layout,
+                         fused_block=self.fused_block, dtype=self.dtype,
                          name=f'module{m}')(xs, train)
             chans = s.out_channels
         return xs
