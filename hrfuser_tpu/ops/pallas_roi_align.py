@@ -398,9 +398,112 @@ def _kernel_v3(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
                 out_ref.dtype)
 
 
+def _kernel_v4(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
+               out_ref, s4_ref, sx_ref, *, c: int, out_size: int):
+    """v4: shared-weight wide-N x-pool.
+
+    v3 batches G window rows under one MXU issue with a block-diagonal
+    [G*8, G*SPAN] weight — paying G x the FLOPs in structural zeros.
+    But all G rows of one RoI share the SAME Wx strip, so the same
+    batching is ONE [8, SPAN] @ [SPAN, G*C] dot with the rows staged
+    side-by-side in the LANE dimension: G x fewer MXU FLOPs, no
+    per-RoI weight-block stores, and the x-pool result arrives as
+    [8(q), G*C] whose per-row lane slices store straight into the
+    y-pool scratch. Stale rows (past ny, or narrow RoIs' upper
+    half-windows) cancel exactly as in v1/v3: zero wy columns / zero
+    wx columns.
+    """
+    b = pl.program_id(0)
+    chunk_i = pl.program_id(1)
+    os8 = 8
+
+    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
+    def _init():
+        s4_ref[...] = jnp.zeros_like(s4_ref)
+        sx_ref[...] = jnp.zeros_like(sx_ref)
+
+    half = SPAN // 2
+    for r in range(CHUNK):
+        roi = chunk_i * CHUNK + r
+        base = base_ref[b, roi]
+        wl = wl_ref[b, roi]
+        wide = wide_ref[b, roi]
+        wx_r = wx_ref[0, r]                              # [7, SPAN]
+
+        def body(i, carry, base=base, wl=wl, wide=wide, wx_r=wx_r, r=r):
+            for g in range(V3_GROUP):
+                start = pl.multiple_of(base + (i * V3_GROUP + g) * wl, 8)
+                s4_ref[0:half, g * c:g * c + c] = flat_ref[
+                    0, pl.ds(start, half), :]
+
+                @pl.when(wide > 0)
+                def _upper(start=start, g=g):
+                    s4_ref[half:SPAN, g * c:g * c + c] = flat_ref[
+                        0, pl.ds(start + half, half), :]
+
+            res = jax.lax.dot_general(
+                wx_r, s4_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [7(q), G*C]
+            res = res.astype(sx_ref.dtype)
+            for g in range(V3_GROUP):
+                sx_ref[i * V3_GROUP + g,
+                       r * os8:r * os8 + out_size, :] = (
+                    res[:, g * c:g * c + c])
+            return carry
+
+        n_iter = (ny_ref[b, roi] + V3_GROUP - 1) // V3_GROUP
+        jax.lax.fori_loop(0, n_iter, body, 0)
+
+    # y-pool: one contiguous [out_size, C] store per x-bin -> (q, p)
+    for r in range(CHUNK):
+        wy_r = wy_ref[0, r]                              # [7, SPAN]
+        for q in range(out_size):
+            col = sx_ref[:, r * os8 + q, :]              # [SPAN, C]
+            yp = jax.lax.dot_general(
+                wy_r, col,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [7(p), C]
+            out_ref[0, r, q * out_size:(q + 1) * out_size, :] = yp.astype(
+                out_ref.dtype)
+
+
 def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret,
           variant: str = 'v1'):
     grid = (bsz, n // CHUNK)
+    if variant == 'v4':
+        assert SPAN % V3_GROUP == 0, (V3_GROUP, SPAN)
+        return pl.pallas_call(
+            functools.partial(_kernel_v4, c=c, out_size=out_size),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, flat.shape[1], c),
+                                 lambda b, i, *_: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, out_size, SPAN),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, out_size, SPAN),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, CHUNK, out_size * out_size, c),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((SPAN, V3_GROUP * c), jnp.bfloat16),
+                    pltpu.VMEM((SPAN, CHUNK * 8, c), jnp.bfloat16),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
+                                           jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(base, wl, ny, wide, flat, wy, wx)
     if variant == 'v3':
         assert SPAN % V3_GROUP == 0, (V3_GROUP, SPAN)
         return pl.pallas_call(
@@ -549,7 +652,7 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     # v1 emits rows in (p, q) order, v2 in (q, p)
     if not flat_out:
         out = out.reshape(bsz, n, out_size, out_size, c)
-        if variant in ('v2', 'v3'):
+        if variant in ('v2', 'v3', 'v4'):
             out = out.swapaxes(2, 3)                 # (q, p) -> (p, q)
 
     # Exact fallback for RoIs whose feature-space span exceeds the
@@ -584,7 +687,7 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     fb = min(FALLBACK, n)
 
     # gather oracle emits (p, q); v2/v3's flat layout is (q, p)
-    qp_flat = flat_out and variant in ('v2', 'v3')
+    qp_flat = flat_out and variant in ('v2', 'v3', 'v4')
 
     def merge_widest(feats_i, rois_i, span_i, out_i):
         _, fb_idx = jax.lax.top_k(span_i, fb)
