@@ -66,10 +66,18 @@ def main():
                     help='override RoIAlign formulation (default: config)')
     ap.add_argument('--cf', choices=['auto', 'off', 'on'], default=None,
                     help='override backbone cf_layout (default: config)')
-    ap.add_argument('--roi-variant', choices=['v1', 'v2', 'v3'],
+    ap.add_argument('--roi-variant', choices=['v1', 'v2', 'v3', 'v4'],
                     default=None,
                     help='override the Pallas RoIAlign kernel variant '
                          '(default: config)')
+    ap.add_argument('--fused', choices=['auto', 'off', 'on'], default=None,
+                    help='override backbone fused_block (default: config)')
+    ap.add_argument('--zeros', action='store_true',
+                    help='all-zero inputs (pre-r4 methodology). Zero '
+                         'images make every RPN proposal an identical '
+                         'degenerate box, flattering the data-dependent '
+                         'paths (RoI staging, NMS block early-exit); the '
+                         'default is seeded random images (VERDICT r3 #4)')
     args = ap.parse_args()
 
     import dataclasses
@@ -98,12 +106,29 @@ def main():
         model_cfg = dataclasses.replace(
             model_cfg, roi=dataclasses.replace(
                 model_cfg.roi, pallas_variant=args.roi_variant))
+    if args.fused:
+        model_cfg = dataclasses.replace(
+            model_cfg, backbone=dataclasses.replace(
+                model_cfg.backbone, fused_block=args.fused))
     dtype = None if (args.f32 or args.quick) else jnp.bfloat16
     det = CascadeRCNN(model_cfg, dtype=dtype)
     nmod = cfg.model.backbone.num_fused_modalities
-    img = jnp.zeros((batch, h, w, 3), jnp.float32)
-    mods = [jnp.zeros((batch, h, w, c), jnp.float32)
-            for c in (cfg.model.backbone.mod_in_channels or [])][:nmod]
+    if args.zeros:
+        img = jnp.zeros((batch, h, w, 3), jnp.float32)
+        mods = [jnp.zeros((batch, h, w, c), jnp.float32)
+                for c in (cfg.model.backbone.mod_in_channels or [])][:nmod]
+    else:
+        # Seeded random inputs at ImageNet-normalized scale: makes RPN
+        # scores spatially varied, so the NMS/RoI paths see a realistic
+        # non-degenerate box distribution (VERDICT r3 weak #2: zeros
+        # collapse all proposals onto one degenerate box and flatter
+        # the data-dependent kernels by ~10%).
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.normal(0., 1., (batch, h, w, 3)),
+                          jnp.float32)
+        mods = [jnp.asarray(rng.normal(0., 1., (batch, h, w, c)),
+                            jnp.float32)
+                for c in (cfg.model.backbone.mod_in_channels or [])][:nmod]
 
     variables = jax.jit(functools.partial(det.init, train=False))(
         jax.random.PRNGKey(0), img, mods if nmod else None)

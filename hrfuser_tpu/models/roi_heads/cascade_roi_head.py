@@ -90,8 +90,11 @@ class CascadeRoIHead(nn.Module):
 
     def setup(self):
         # flat [N, 49, C] inputs only come from the Pallas pool; its
-        # v2/v3 kernels emit (q, p) rows -> 'wh' kernel permutation
-        order = 'wh' if self.cfg.pallas_variant in ('v2', 'v3') else 'hw'
+        # v2/v3/v4 kernels emit (q, p) rows -> 'wh' kernel permutation.
+        # The set is owned by pallas_roi_align so a new variant can't
+        # drift out of sync with the head (ADVICE r3).
+        from hrfuser_tpu.ops.pallas_roi_align import QP_VARIANTS
+        order = 'wh' if self.cfg.pallas_variant in QP_VARIANTS else 'hw'
         self.bbox_heads = [
             Shared2FCBBoxHead(self.cfg.num_classes,
                               self.cfg.fc_out_channels, dtype=self.dtype,

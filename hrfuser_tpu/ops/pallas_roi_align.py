@@ -82,6 +82,12 @@ V3_GROUP = int(__import__('os').environ.get('HRFUSER_ROI_GROUP', '8'))
 # the while_loop in `_pool_batched`).
 FALLBACK = 16
 
+# Variants whose kernels emit flat pooled rows in (q, p) order (x-bin
+# major) rather than v1's (p, q). Consumers (cascade_roi_head, the
+# fallback merge below) key off this ONE set so a new variant can't
+# silently feed transposed 7x7 features downstream.
+QP_VARIANTS = ('v2', 'v3', 'v4')
+
 
 def _axis_strip(start, bin_size, size, origin, out_size, sample_num,
                 dtype):
@@ -652,7 +658,7 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     # v1 emits rows in (p, q) order, v2 in (q, p)
     if not flat_out:
         out = out.reshape(bsz, n, out_size, out_size, c)
-        if variant in ('v2', 'v3', 'v4'):
+        if variant in QP_VARIANTS:
             out = out.swapaxes(2, 3)                 # (q, p) -> (p, q)
 
     # Exact fallback for RoIs whose feature-space span exceeds the
@@ -687,7 +693,7 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     fb = min(FALLBACK, n)
 
     # gather oracle emits (p, q); v2/v3's flat layout is (q, p)
-    qp_flat = flat_out and variant in ('v2', 'v3', 'v4')
+    qp_flat = flat_out and variant in QP_VARIANTS
 
     def merge_widest(feats_i, rois_i, span_i, out_i):
         _, fb_idx = jax.lax.top_k(span_i, fb)

@@ -19,6 +19,8 @@ from hrfuser_tpu.layers.attention import (CrossFFN, HRFormerBlock,
                                           prefer_cf)
 from hrfuser_tpu.ops.window import (window_partition, window_partition_cf,
                                     window_reverse, window_reverse_cf)
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `-m "not slow"` fast tier
+
 
 
 def _rand(rng, *shape):

@@ -1,5 +1,6 @@
 """Device-side preprocessing vs the CPU pipeline (numerical parity)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,8 @@ from hrfuser_tpu.data.device_pipeline import (dequantize_sensor,
                                               normalize_image,
                                               pad_to_divisor)
 from hrfuser_tpu.data.pipelines.transforms import Normalize, Pad
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `-m "not slow"` fast tier
 
 
 def test_normalize_matches_cpu_pipeline():

@@ -32,6 +32,8 @@ from hrfuser_tpu.models.dense_heads.rpn_head import get_proposals_single
 from hrfuser_tpu.utils.pth_convert import convert_state_dict, verify_against
 from tests.oracles.torch_hrfuser import TorchHRFuserDetector
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `-m "not slow"` fast tier
+
 
 def _tiny_cfg():
     model = detector(hrfuser_backbone(channels=(8, 16, 24, 32),

@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full tiny-detector jit (~6 min CPU)
+
 
 @pytest.fixture(scope='module')
 def tiny_detector():

@@ -11,6 +11,8 @@ from hrfuser_tpu.configs import get_config
 from hrfuser_tpu.layers import HRFormerBlock, HRFuserFusionBlock
 from hrfuser_tpu.models import CascadeRCNN, predict
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `-m "not slow"` fast tier
+
 
 @pytest.fixture(scope='module')
 def tiny_fusion():

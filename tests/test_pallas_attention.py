@@ -2,12 +2,15 @@
 
 Runs in interpreter mode on CPU (the kernel itself targets TPU)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from hrfuser_tpu.layers.attention import _window_attention
 from hrfuser_tpu.ops.pallas_attention import fused_window_attention
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `-m "not slow"` fast tier
 
 
 def _reference(x, y, wq, wk, wv, wo, bq, bk, bv, bo, bias, h):

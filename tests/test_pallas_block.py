@@ -15,6 +15,8 @@ from hrfuser_tpu.layers.attention import HRFormerBlock, HRFuserFusionBlock
 from hrfuser_tpu.ops.pallas_block import (fused_cross_ffn,
                                           fused_fusion_block,
                                           fused_hrformer_block)
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `-m "not slow"` fast tier
+
 
 
 def _init_stats(key, model, *args):

@@ -8,6 +8,8 @@ import pytest
 from hrfuser_tpu.ops import multilevel_roi_align
 from hrfuser_tpu.ops.pallas_roi_align import multilevel_roi_align_pallas
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `-m "not slow"` fast tier
+
 INTERPRET = jax.default_backend() != 'tpu'
 
 
@@ -21,7 +23,7 @@ def _feats(rng, h0=96, w0=160, c=256, levels=4):
         for i in range(levels)]
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3'])
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4'])
 def test_pallas_roi_align_matches_gather(variant):
     rng = np.random.default_rng(0)
     feats = _feats(rng, h0=64, w0=96, c=256)
@@ -45,7 +47,7 @@ def test_pallas_roi_align_matches_gather(variant):
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3'])
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4'])
 def test_pallas_roi_align_larger_batch_of_rois(variant):
     rng = np.random.default_rng(1)
     feats = _feats(rng, h0=96, w0=160, c=256)
@@ -64,7 +66,7 @@ def test_pallas_roi_align_larger_batch_of_rois(variant):
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3'])
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4'])
 def test_pallas_flat_out_matches_reshaped(variant):
     """flat_out returns the kernel's native row order: (p, q) rows for
     v1, (q, p) for v2 — consumers undo it via the documented order."""
@@ -80,7 +82,8 @@ def test_pallas_flat_out_matches_reshaped(variant):
         variant=variant))
     assert flat.shape == (16, 49, 256)
     grid = flat.reshape(16, 7, 7, 256)
-    if variant in ('v2', 'v3'):
+    from hrfuser_tpu.ops.pallas_roi_align import QP_VARIANTS
+    if variant in QP_VARIANTS:
         grid = grid.swapaxes(1, 2)
     np.testing.assert_array_equal(grid, full)
 
@@ -106,7 +109,7 @@ def test_bbox_head_rank3_matches_rank4(order):
                                atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3'])
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4'])
 def test_pallas_right_edge_on_non_multiple_of_8_level(variant):
     """STF-like stride-8 level width 156 (>SPAN, not %8): the x-origin
     clamp must bound against the PADDED width, or right-edge RoIs lose
@@ -127,7 +130,7 @@ def test_pallas_right_edge_on_non_multiple_of_8_level(variant):
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v3'])
+@pytest.mark.parametrize('variant', ['v1', 'v3', 'v4'])
 def test_pallas_many_oversize_rois_multi_iteration_fallback(variant):
     """More oversize RoIs per image than FALLBACK: the fallback
     while_loop must run multiple iterations and still be exact."""

@@ -15,8 +15,11 @@ from hrfuser_tpu.parallel.api import (make_sharded_predict,
 from hrfuser_tpu.parallel.mesh import (gather, make_mesh, replicate,
                                        shard_batch)
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason='needs 8 (virtual) devices')
+pytestmark = [
+    pytest.mark.slow,  # compile-heavy: ~17 min of 8-device CPU compiles
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason='needs 8 (virtual) devices'),
+]
 
 
 @pytest.fixture(scope='module')

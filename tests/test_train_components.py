@@ -1,5 +1,6 @@
 """Assigner / sampler / target / loss / schedule unit tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,8 @@ from hrfuser_tpu.core.targets import (RCNN_TRAIN_CFGS,
                                       rcnn_stage_targets_single,
                                       rpn_targets_single)
 from hrfuser_tpu.apis.train import make_lr_schedule
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `-m "not slow"` fast tier
 
 
 def test_assigner_basic():

@@ -42,6 +42,12 @@ def main():
     ap.add_argument('--pool', choices=['onehot', 'gather'], default=None)
     ap.add_argument('--bf16', action='store_true',
                     help='bf16 params/compute (the bench configuration)')
+    ap.add_argument('--roi-variant', choices=['v1', 'v2', 'v3', 'v4'],
+                    default=None)
+    ap.add_argument('--fused', choices=['auto', 'off', 'on'], default=None)
+    ap.add_argument('--zeros', action='store_true',
+                    help='all-zero inference inputs (pre-r4 methodology; '
+                         'flatters data-dependent paths — see bench.py)')
     args = ap.parse_args()
 
     from hrfuser_tpu.configs import get_config
@@ -64,14 +70,33 @@ def main():
         model_cfg = dataclasses.replace(
             model_cfg, roi=dataclasses.replace(model_cfg.roi,
                                                pool_method=args.pool))
+    if args.roi_variant:
+        model_cfg = dataclasses.replace(
+            model_cfg, roi=dataclasses.replace(
+                model_cfg.roi, pallas_variant=args.roi_variant))
+    if args.fused:
+        model_cfg = dataclasses.replace(
+            model_cfg, backbone=dataclasses.replace(
+                model_cfg.backbone, fused_block=args.fused))
     cfg = dataclasses.replace(cfg, model=model_cfg)
 
     det = CascadeRCNN(cfg.model,
                       dtype=jnp.bfloat16 if args.bf16 else None)
     nmod = cfg.model.backbone.num_fused_modalities
-    img = jnp.zeros((args.batch, h, w, 3), jnp.float32)
-    mods = [jnp.zeros((args.batch, h, w, c), jnp.float32)
-            for c in (cfg.model.backbone.mod_in_channels or [])][:nmod]
+    if args.zeros:
+        img = jnp.zeros((args.batch, h, w, 3), jnp.float32)
+        mods = [jnp.zeros((args.batch, h, w, c), jnp.float32)
+                for c in (cfg.model.backbone.mod_in_channels or [])][:nmod]
+    else:
+        # seeded random inputs, same as bench.py's honest default:
+        # non-degenerate RPN proposals exercise the data-dependent
+        # RoI/NMS paths the way real data does
+        npr0 = np.random.default_rng(0)
+        img = jnp.asarray(npr0.normal(0., 1., (args.batch, h, w, 3)),
+                          jnp.float32)
+        mods = [jnp.asarray(npr0.normal(0., 1., (args.batch, h, w, c)),
+                            jnp.float32)
+                for c in (cfg.model.backbone.mod_in_channels or [])][:nmod]
     mods = mods if nmod else None
 
     rng = jax.random.PRNGKey(0)
