@@ -86,17 +86,35 @@ FALLBACK = 16
 # major) rather than v1's (p, q). Consumers (cascade_roi_head, the
 # fallback merge below) key off this ONE set so a new variant can't
 # silently feed transposed 7x7 features downstream.
-QP_VARIANTS = ('v2', 'v3', 'v4')
+QP_VARIANTS = ('v2', 'v3', 'v4', 'v5')
+
+
+def _v5_span(sizes) -> int:
+    """Window size that covers EVERY possible RoI of this pyramid.
+
+    Boxes are clipped to the image, so the worst feature-space extent
+    on any routed level is that level's own height or (padded) width —
+    at r640 that is the stride-4 level's 160 columns. Rounding
+    (max extent + 9 margin: +1 hi-tap, +7 x-origin alignment, +1
+    conservative) up to a 32-column staging chunk gives a window no RoI
+    can escape: the oversize-gather fallback below then runs ZERO
+    iterations for this pyramid, killing what the r4 honest-input trace
+    measured as ~60-70 ms/step of fallback work at b8 (extreme-aspect
+    RPN slivers — 31.7% of stage-0 proposals, 24 while_loop iterations;
+    see tools/probe_roi_spans.py and perf/r4_02_roi_spans.log).
+    """
+    ext = max(max(h, _pad8(w)) for h, w in sizes)
+    return max(SPAN, -(-(ext + 9) // 32) * 32)
 
 
 def _axis_strip(start, bin_size, size, origin, out_size, sample_num,
-                dtype):
-    """One-hot weights [N, out_size, SPAN] relative to `origin`.
+                dtype, span=SPAN):
+    """One-hot weights [N, out_size, span] relative to `origin`.
 
     Same sampling math as `roi_align._axis_onehot` (static grid), but
-    the one-hot columns index into the RoI's SPAN-wide window instead
+    the one-hot columns index into the RoI's span-wide window instead
     of the full axis. Also returns the per-RoI count of window rows
-    actually carrying weight (`n_rows` [N] int32 in [1, SPAN]) so the
+    actually carrying weight (`n_rows` [N] int32 in [1, span]) so the
     kernel can stop staging at the RoI's true extent.
     """
     g = sample_num
@@ -113,15 +131,15 @@ def _axis_strip(start, bin_size, size, origin, out_size, sample_num,
     w_lo = (1.0 - w_hi) * inside / g
     w_hi = w_hi * inside / g
 
-    rel_lo = lo - origin[:, None, None]                  # in [0, SPAN)
+    rel_lo = lo - origin[:, None, None]                  # in [0, span)
     rel_hi = hi - origin[:, None, None]
-    cols = jnp.arange(SPAN, dtype=start.dtype)
+    cols = jnp.arange(span, dtype=start.dtype)
     one_lo = (cols[None, None, None, :] == rel_lo[..., None])
     one_hi = (cols[None, None, None, :] == rel_hi[..., None])
     w = one_lo * w_lo[..., None] + one_hi * w_hi[..., None]
     n_rows = jnp.clip(((rel_hi + 1.0) * inside).max(axis=(1, 2)),
-                      1.0, SPAN).astype(jnp.int32)
-    return w.sum(axis=2).astype(dtype), n_rows           # [N, out, SPAN]
+                      1.0, span).astype(jnp.int32)
+    return w.sum(axis=2).astype(dtype), n_rows           # [N, out, span]
 
 
 def _pad8(w: int) -> int:
@@ -129,7 +147,7 @@ def _pad8(w: int) -> int:
 
 
 def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
-          sample_num: int, finest_scale: int, dtype):
+          sample_num: int, finest_scale: int, dtype, span=SPAN):
     """Per-RoI planning (plain jnp): window origins + weight strips.
 
     Mosaic requires dynamic VMEM loads to start at a multiple of 8
@@ -138,7 +156,8 @@ def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
     (b) the x-origin is rounded down to a multiple of 8, folding the
     remainder into the weight strips.
 
-    Returns (base_row [N] int32, wl [N] int32, Wy, Wx [N, out, SPAN]).
+    Returns (base_row [N] i32, wl [N] i32, ny [N] i32, wide [N] i32,
+    nx [N] i32, Wy, Wx [N, out, span]).
     """
     num_levels = len(strides)
     lvl = map_roi_levels(rois, num_levels, finest_scale)
@@ -170,21 +189,25 @@ def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
     # windows over the zero-padded columns are harmless and in-bounds
     # by the read_end accounting.
     oy = jnp.clip(jnp.floor(jnp.clip(y1, 0.0, None)).astype(jnp.int32),
-                  0, jnp.maximum(heights - SPAN, 0))
+                  0, jnp.maximum(heights - span, 0))
     ox = jnp.clip(jnp.floor(jnp.clip(x1, 0.0, None)).astype(jnp.int32),
-                  0, jnp.maximum(w8 - SPAN, 0))
+                  0, jnp.maximum(w8 - span, 0))
     ox = (ox // 8) * 8
 
     wy, ny = _axis_strip(y1, bh, heights.astype(rois.dtype),
-                         oy.astype(rois.dtype), out_size, sample_num, dtype)
+                         oy.astype(rois.dtype), out_size, sample_num,
+                         dtype, span)
     wx, nx = _axis_strip(x1, bw, widths.astype(rois.dtype),
-                         ox.astype(rois.dtype), out_size, sample_num, dtype)
+                         ox.astype(rois.dtype), out_size, sample_num,
+                         dtype, span)
     base = offset + oy * w8 + ox
-    # wide flag: any x-tap beyond the window's first half -> the kernel
-    # must load the upper SPAN/2 columns too (exact, from the one-hot
-    # column extent — no margin heuristics)
-    wide = (nx > SPAN // 2).astype(jnp.int32)
-    return base.astype(jnp.int32), w8, ny, wide, wy, wx
+    # wide flag: any x-tap beyond the window's first half -> the v1-v4
+    # kernels must load the upper span/2 columns too (exact, from the
+    # one-hot column extent — no margin heuristics). v5 uses the raw
+    # `nx` extent to gate its 32-column staging chunks individually.
+    wide = (nx > span // 2).astype(jnp.int32)
+    return (base.astype(jnp.int32), w8, ny, wide, nx.astype(jnp.int32),
+            wy, wx)
 
 
 def _kernel(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
@@ -474,9 +497,116 @@ def _kernel_v4(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
                 out_ref.dtype)
 
 
+def _kernel_v5(base_ref, wl_ref, ny_ref, nx_ref, flat_ref, wy_ref, wx_ref,
+               out_ref, s4_ref, sx_ref, *, c: int, out_size: int,
+               span: int):
+    """v5: full-coverage window (span from `_v5_span`), chunk-gated
+    staging — the no-fallback kernel.
+
+    Same shared-weight wide-N x-pool as v4, but the window is wide
+    enough for ANY clipped RoI, and each group-row's staging load is
+    split into span/32 column chunks individually gated on the RoI's
+    true x-extent (`nx`): a typical proposal (nx <= 32) still loads
+    exactly one [32, C] chunk per window row — the same bytes the
+    64-wide kernels move — while a full-width stride-4 sliver
+    (nx = 160, ny = 1) loads all chunks of its single row. Stale
+    chunks/rows carry exactly-zero wx/wy columns, so they cancel in the
+    pooling dots (the scratch is zero-initialized once at grid step 0;
+    afterwards stale data is always finite feature values).
+    """
+    b = pl.program_id(0)
+    chunk_i = pl.program_id(1)
+    os8 = 8
+    nchunks = span // 32
+
+    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
+    def _init():
+        s4_ref[...] = jnp.zeros_like(s4_ref)
+        sx_ref[...] = jnp.zeros_like(sx_ref)
+
+    for r in range(CHUNK):
+        roi = chunk_i * CHUNK + r
+        base = base_ref[b, roi]
+        wl = wl_ref[b, roi]
+        nx = nx_ref[b, roi]
+        wx_r = wx_ref[0, r]                              # [7, span]
+
+        def body(i, carry, base=base, wl=wl, nx=nx, wx_r=wx_r, r=r):
+            for g in range(V3_GROUP):
+                start = pl.multiple_of(base + (i * V3_GROUP + g) * wl, 8)
+                s4_ref[0:32, g * c:g * c + c] = flat_ref[
+                    0, pl.ds(start, 32), :]
+                for k in range(1, nchunks):
+                    @pl.when(nx > k * 32)
+                    def _chunk(start=start, g=g, k=k):
+                        s4_ref[k * 32:(k + 1) * 32, g * c:g * c + c] = (
+                            flat_ref[0, pl.ds(start + k * 32, 32), :])
+
+            res = jax.lax.dot_general(
+                wx_r, s4_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [7(q), G*C]
+            res = res.astype(sx_ref.dtype)
+            for g in range(V3_GROUP):
+                sx_ref[i * V3_GROUP + g,
+                       r * os8:r * os8 + out_size, :] = (
+                    res[:, g * c:g * c + c])
+            return carry
+
+        n_iter = (ny_ref[b, roi] + V3_GROUP - 1) // V3_GROUP
+        jax.lax.fori_loop(0, n_iter, body, 0)
+
+    # y-pool: one contiguous [out_size, C] store per x-bin -> (q, p)
+    for r in range(CHUNK):
+        wy_r = wy_ref[0, r]                              # [7, span]
+        for q in range(out_size):
+            col = sx_ref[:, r * os8 + q, :]              # [span, C]
+            yp = jax.lax.dot_general(
+                wy_r, col,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [7(p), C]
+            out_ref[0, r, q * out_size:(q + 1) * out_size, :] = yp.astype(
+                out_ref.dtype)
+
+
 def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret,
-          variant: str = 'v1'):
+          variant: str = 'v1', span: int = SPAN):
     grid = (bsz, n // CHUNK)
+    if variant == 'v5':
+        assert span % 32 == 0 and span % V3_GROUP == 0, (span, V3_GROUP)
+        # `wide` carries the raw nx extents for v5 (see _pool_batched)
+        return pl.pallas_call(
+            functools.partial(_kernel_v5, c=c, out_size=out_size,
+                              span=span),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, flat.shape[1], c),
+                                 lambda b, i, *_: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, out_size, span),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, out_size, span),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, CHUNK, out_size * out_size, c),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((span, V3_GROUP * c), jnp.bfloat16),
+                    pltpu.VMEM((span, CHUNK * 8, c), jnp.bfloat16),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
+                                           jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(base, wl, ny, wide, flat, wy, wx)
     if variant == 'v4':
         assert SPAN % V3_GROUP == 0, (V3_GROUP, SPAN)
         return pl.pallas_call(
@@ -629,10 +759,11 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     n = rois.shape[1]
     sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
     dt = jnp.bfloat16
+    span = _v5_span(sizes) if variant == 'v5' else SPAN
 
-    base, wl, ny, wide, wy, wx = jax.vmap(
+    base, wl, ny, wide, nx, wy, wx = jax.vmap(
         lambda r: _plan(r, strides, sizes, out_size, sample_num,
-                        finest_scale, dt))(rois)
+                        finest_scale, dt, span))(rois)
     # flat buffer with every level's width padded to a multiple of 8
     # (row alignment for the kernel's dynamic loads)
     flat = jnp.concatenate(
@@ -641,20 +772,20 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     flat = flat.astype(dt)
     # pad so every in-window load stays in bounds: the worst read per
     # level starts at that level's largest possible base (_plan clamps
-    # oy/ox to the level extent) and runs SPAN-1 rows further down —
+    # oy/ox to the level extent) and runs span-1 rows further down —
     # exact accounting keeps the VMEM-resident buffer small
     total = sum(h * _pad8(w) for h, w in sizes)
     read_end = 0
     acc = 0
     for h, w in sizes:
         w8 = _pad8(w)
-        base_max = acc + max(h - SPAN, 0) * w8 + (w8 - 8)
-        read_end = max(read_end, base_max + (SPAN - 1) * w8 + SPAN)
+        base_max = acc + max(h - span, 0) * w8 + (w8 - 8)
+        read_end = max(read_end, base_max + (span - 1) * w8 + span)
         acc += h * w8
     flat = jnp.pad(flat, ((0, 0), (0, max(0, read_end - total)), (0, 0)))
 
-    out = _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size,
-                interpret, variant)
+    out = _call(base, wl, ny, nx if variant == 'v5' else wide, flat,
+                wy, wx, bsz, n, c, out_size, interpret, variant, span)
     # v1 emits rows in (p, q) order, v2 in (q, p)
     if not flat_out:
         out = out.reshape(bsz, n, out_size, out_size, c)
@@ -688,8 +819,12 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
                            (rois_i[:, 3] - rois_i[:, 1]) * scale)
 
     spans = jax.vmap(span_of)(rois)                      # [B, N]
-    # margin: +1 hi-tap, +7 x-origin alignment shift
-    thresh = jnp.asarray(SPAN - 9, spans.dtype)
+    # margin: +1 hi-tap, +7 x-origin alignment shift. For v5 the
+    # window covers every clipped RoI by construction (_v5_span), so
+    # this threshold is unreachable and the while below runs zero
+    # iterations — kept as a safety net (and for hypothetical pyramids
+    # whose RoIs aren't image-clipped).
+    thresh = jnp.asarray(span - 9, spans.dtype)
     fb = min(FALLBACK, n)
 
     # gather oracle emits (p, q); v2/v3's flat layout is (q, p)
