@@ -66,7 +66,7 @@ def main():
                     help='override RoIAlign formulation (default: config)')
     ap.add_argument('--cf', choices=['auto', 'off', 'on'], default=None,
                     help='override backbone cf_layout (default: config)')
-    ap.add_argument('--roi-variant', choices=['v1', 'v2', 'v3', 'v4', 'v5'],
+    ap.add_argument('--roi-variant', choices=['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'],
                     default=None,
                     help='override the Pallas RoIAlign kernel variant '
                          '(default: config)')

@@ -59,12 +59,15 @@ class RoIHeadCfg:
     # (gather bf16) / 104 ms (gather f32) per 1000-RoI pool at batch 8
     # on v5e. 'gather' remains the f32-exact parity path.
     pool_method_eval: str = 'pallas'
-    # Pallas kernel variant (ops/pallas_roi_align.py): 'v1' = per-row
-    # staged dots; 'v3' = grouped block-diagonal dots (G rows per MXU
-    # issue — ~1.9x faster standalone, see ROUND3.md §7); 'v2' kept as
-    # a documented negative result. v2/v3 emit flat rows in (q, p)
+    # Pallas kernel variant (ops/pallas_roi_align.py): 'v7' = full-
+    # coverage window with branchless extent-proportional chunk trips —
+    # matches v4's speed on narrow RoIs (13.0 vs 13.6 ms/call at 8x1000
+    # realistic RoIs) and handles ANY clipped RoI in-kernel, so the
+    # oversize-gather fallback (60-70 ms/step on honest random-input
+    # benches, perf/r4_03) runs zero iterations. 'v1'..'v6' kept as
+    # documented steps (ROUND4.md §3). v2+ emit flat rows in (q, p)
     # order, absorbed by the head's `flat_row_order='wh'`.
-    pallas_variant: str = 'v3'
+    pallas_variant: str = 'v7'
     # gathers (and their backward scatters) are the dominant HBM traffic
     # of the 'gather' train step; bf16 halves it. False = exact f32.
     # For 'onehot' this selects the einsum input dtype (f32 accumulate).

@@ -86,7 +86,14 @@ FALLBACK = 16
 # major) rather than v1's (p, q). Consumers (cascade_roi_head, the
 # fallback merge below) key off this ONE set so a new variant can't
 # silently feed transposed 7x7 features downstream.
-QP_VARIANTS = ('v2', 'v3', 'v4', 'v5')
+QP_VARIANTS = ('v2', 'v3', 'v4', 'v5', 'v6', 'v7')
+# Variants whose window covers EVERY clipped RoI (`_v5_span`): the
+# oversize-gather fallback runs zero iterations by construction.
+FULLCOV_VARIANTS = ('v5', 'v6', 'v7')
+# Variants whose Wx/Wy strips are laid out chunk-major
+# ([N, nchunks*8, 32] instead of [N, out, span]) so the kernel can
+# slice one chunk's weight block with a dynamic sublane offset.
+CHUNK_MAJOR_VARIANTS = ('v7',)
 
 
 def _v5_span(sizes) -> int:
@@ -147,7 +154,8 @@ def _pad8(w: int) -> int:
 
 
 def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
-          sample_num: int, finest_scale: int, dtype, span=SPAN):
+          sample_num: int, finest_scale: int, dtype, span=SPAN,
+          fullcov: bool = False):
     """Per-RoI planning (plain jnp): window origins + weight strips.
 
     Mosaic requires dynamic VMEM loads to start at a multiple of 8
@@ -188,10 +196,25 @@ def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
     # multiple of 8 (e.g. the STF r1248 stride-8 level, width 156) —
     # windows over the zero-padded columns are harmless and in-bounds
     # by the read_end accounting.
-    oy = jnp.clip(jnp.floor(jnp.clip(y1, 0.0, None)).astype(jnp.int32),
-                  0, jnp.maximum(heights - span, 0))
-    ox = jnp.clip(jnp.floor(jnp.clip(x1, 0.0, None)).astype(jnp.int32),
-                  0, jnp.maximum(w8 - span, 0))
+    if fullcov:
+        # Full-coverage variants (span >= every level extent): clamping
+        # the origin to size - span would force it to 0 on EVERY level,
+        # making ny/nx "distance from the level edge to the RoI's far
+        # tap" — 3-5x the true extent, which silently span-scaled the
+        # extent-proportional kernels' trip counts (v5/v6/v7 all
+        # measured 42-50 ms/call from exactly this before the fix).
+        # The window trivially covers the RoI from any origin at or
+        # below its first tap; the flat buffer's read_end accounting
+        # (in _pool_batched) absorbs the deeper worst-case reads.
+        oy = jnp.clip(jnp.floor(jnp.clip(y1, 0.0, None)).astype(jnp.int32),
+                      0, jnp.maximum(heights - 1, 0))
+        ox = jnp.clip(jnp.floor(jnp.clip(x1, 0.0, None)).astype(jnp.int32),
+                      0, jnp.maximum(w8 - 8, 0))
+    else:
+        oy = jnp.clip(jnp.floor(jnp.clip(y1, 0.0, None)).astype(jnp.int32),
+                      0, jnp.maximum(heights - span, 0))
+        ox = jnp.clip(jnp.floor(jnp.clip(x1, 0.0, None)).astype(jnp.int32),
+                      0, jnp.maximum(w8 - span, 0))
     ox = (ox // 8) * 8
 
     wy, ny = _axis_strip(y1, bh, heights.astype(rois.dtype),
@@ -569,9 +592,290 @@ def _kernel_v5(base_ref, wl_ref, ny_ref, nx_ref, flat_ref, wy_ref, wx_ref,
                 out_ref.dtype)
 
 
+def _kernel_v6(base_ref, wl_ref, ny_ref, nx_ref, flat_ref, wy_ref, wx_ref,
+               out_ref, s32_ref, sx_ref, xacc_ref, yacc_ref, *, c: int,
+               out_size: int, span: int):
+    """v6: full-coverage window with extent-proportional compute.
+
+    v5 proved the full-coverage window kills the oversize fallback but
+    paid span/SPAN (3x at r640) in EVERY RoI's x-pool dot, y-pool dot,
+    and scratch traffic — 42 ms/call vs v4's 13.6 standalone. v6 keeps
+    v5's window but decomposes BOTH pooling dots into 32-column chunks
+    accumulated in f32 scratch and gated on the RoI's true extents:
+
+      x-pool row i:  sx[i] = sum_k  Wx[:, 32k:32k+32] @ stage(chunk k)
+                     (chunk k staged+dotted only when nx > 32k)
+      y-pool bin q:  out[q] = sum_k  Wy[:, 32k:32k+32] @ sx[32k:32k+32]
+                     (dotted only when ny > 32k)
+
+    A typical proposal (nx, ny <= 32) runs exactly one chunk per pool —
+    the same loads and FLOPs as the 64-wide v4 kernel's narrow path —
+    while a full-width stride-4 sliver (nx = 160, ny = 1) stages all
+    chunks of its single row group. Skipped chunks skip their LOADS and
+    their DOTS (v5 only skipped loads); stale scratch is never read
+    with nonzero weight (wx/wy columns beyond nx/ny are exactly zero,
+    and gated-off chunks contribute nothing to the accumulator).
+    """
+    b = pl.program_id(0)
+    chunk_i = pl.program_id(1)
+    os8 = 8
+    nchunks = span // 32
+
+    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
+    def _init():
+        s32_ref[...] = jnp.zeros_like(s32_ref)
+        sx_ref[...] = jnp.zeros_like(sx_ref)
+
+    for r in range(CHUNK):
+        roi = chunk_i * CHUNK + r
+        base = base_ref[b, roi]
+        wl = wl_ref[b, roi]
+        nx = nx_ref[b, roi]
+        wx_r = wx_ref[0, r]                              # [7, span]
+
+        def body(i, carry, base=base, wl=wl, nx=nx, wx_r=wx_r, r=r):
+            # chunk 0 unconditional: every RoI has nx >= 1
+            for g in range(V3_GROUP):
+                start = pl.multiple_of(base + (i * V3_GROUP + g) * wl, 8)
+                s32_ref[:, g * c:g * c + c] = flat_ref[
+                    0, pl.ds(start, 32), :]
+            xacc_ref[0:out_size, :] = jax.lax.dot_general(
+                wx_r[:, 0:32], s32_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [7(q), G*C]
+            for k in range(1, nchunks):
+                @pl.when(nx > k * 32)
+                def _chunk(k=k, base=base, wl=wl, i=i, wx_r=wx_r):
+                    for g in range(V3_GROUP):
+                        start = pl.multiple_of(
+                            base + (i * V3_GROUP + g) * wl + k * 32, 8)
+                        s32_ref[:, g * c:g * c + c] = flat_ref[
+                            0, pl.ds(start, 32), :]
+                    xacc_ref[0:out_size, :] += jax.lax.dot_general(
+                        wx_r[:, k * 32:(k + 1) * 32], s32_ref[...],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            res = xacc_ref[0:out_size, :].astype(sx_ref.dtype)
+            for g in range(V3_GROUP):
+                sx_ref[i * V3_GROUP + g,
+                       r * os8:r * os8 + out_size, :] = (
+                    res[:, g * c:g * c + c])
+            return carry
+
+        n_iter = (ny_ref[b, roi] + V3_GROUP - 1) // V3_GROUP
+        jax.lax.fori_loop(0, n_iter, body, 0)
+
+    # y-pool: chunked + ny-gated; one contiguous store per x-bin (q, p)
+    for r in range(CHUNK):
+        wy_r = wy_ref[0, r]                              # [7, span]
+        ny = ny_ref[b, chunk_i * CHUNK + r]
+        for q in range(out_size):
+            yacc_ref[0:out_size, :] = jax.lax.dot_general(
+                wy_r[:, 0:32], sx_ref[0:32, r * os8 + q, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [7(p), C]
+            for k in range(1, nchunks):
+                @pl.when(ny > k * 32)
+                def _ychunk(k=k, r=r, q=q, wy_r=wy_r):
+                    yacc_ref[0:out_size, :] += jax.lax.dot_general(
+                        wy_r[:, k * 32:(k + 1) * 32],
+                        sx_ref[k * 32:(k + 1) * 32, r * os8 + q, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            out_ref[0, r, q * out_size:(q + 1) * out_size, :] = (
+                yacc_ref[0:out_size, :].astype(out_ref.dtype))
+
+
+def _kernel_v7(base_ref, wl_ref, ny_ref, nx_ref, flat_ref, wy_ref, wx_ref,
+               out_ref, s32_ref, sx_ref, xacc_ref, yacc_ref, *, c: int,
+               out_size: int, span: int):
+    """v7: full-coverage window, BRANCHLESS extent-proportional work.
+
+    v6 gated each 32-column chunk's load+dot behind `pl.when`, but the
+    lab showed that buys nothing over v5's load-only gating (49.7 vs
+    42.0 ms/call at 8x1000 realistic RoIs — BOTH 3-4x v4's 13.6):
+    fine-grained dynamic branches around the hot dots defeat Mosaic's
+    pipelining instead of skipping work. v7 removes the branches: the
+    chunk count becomes a fori_loop TRIP COUNT.
+
+      x-pool row-group i:  chunk 0 hoisted (nx >= 1 always):
+                             xacc  = Wx[0] @ stage(0)
+                           fori_loop(1, ceil(nx/32)):
+                             xacc += Wx[k] @ stage(k)
+      y-pool bin q:        yacc   = Wy[0] @ sx[0:32]
+                           fori_loop(1, ceil(ny/32)):
+                             yacc += Wy[k] @ sx[32k:32k+32]
+
+    The per-chunk weight block Wx[k] is a dynamic-sublane slice of a
+    chunk-major strip layout ([nchunks*8, 32], row 7 of each chunk
+    zero-padded), so no lane-dim dynamic slicing is needed. A typical
+    proposal (nx, ny <= 32) runs zero extra-loop trips — the identical
+    loads/FLOPs of the 64-wide v4 narrow path — while a full-width
+    stride-4 sliver (nx = 160, ny = 1) takes 4 extra x-trips on its
+    single row group. f32 accumulators keep the two-dot rounding
+    identical to v1-v6 (one bf16 round between pools, one at the end).
+    """
+    b = pl.program_id(0)
+    chunk_i = pl.program_id(1)
+    os8 = 8
+
+    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
+    def _init():
+        s32_ref[...] = jnp.zeros_like(s32_ref)
+        sx_ref[...] = jnp.zeros_like(sx_ref)
+
+    for r in range(CHUNK):
+        roi = chunk_i * CHUNK + r
+        base = base_ref[b, roi]
+        wl = wl_ref[b, roi]
+        nkx = (nx_ref[b, roi] + 31) // 32
+
+        def row_body(i, carry, base=base, wl=wl, nkx=nkx, r=r):
+            row0 = pl.multiple_of(base + i * V3_GROUP * wl, 8)
+            for g in range(V3_GROUP):
+                start = pl.multiple_of(row0 + g * wl, 8)
+                s32_ref[:, g * c:g * c + c] = flat_ref[
+                    0, pl.ds(start, 32), :]
+            xacc_ref[...] = jax.lax.dot_general(
+                wx_ref[0, r, 0:8, :], s32_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [8(q), G*C]
+
+            def chunk_body(k, carry2, row0=row0, r=r):
+                for g in range(V3_GROUP):
+                    start = pl.multiple_of(row0 + g * wl + k * 32, 8)
+                    s32_ref[:, g * c:g * c + c] = flat_ref[
+                        0, pl.ds(start, 32), :]
+                xacc_ref[...] += jax.lax.dot_general(
+                    wx_ref[0, r, pl.ds(pl.multiple_of(k * 8, 8), 8), :],
+                    s32_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return carry2
+
+            jax.lax.fori_loop(1, nkx, chunk_body, 0)
+            res = xacc_ref[0:out_size, :].astype(sx_ref.dtype)
+            for g in range(V3_GROUP):
+                sx_ref[i * V3_GROUP + g,
+                       r * os8:r * os8 + out_size, :] = (
+                    res[:, g * c:g * c + c])
+            return carry
+
+        n_iter = (ny_ref[b, roi] + V3_GROUP - 1) // V3_GROUP
+        jax.lax.fori_loop(0, n_iter, row_body, 0)
+
+    # y-pool: chunk trip count from ny; one contiguous store per x-bin
+    for r in range(CHUNK):
+        nky = (ny_ref[b, chunk_i * CHUNK + r] + 31) // 32
+        for q in range(out_size):
+            yacc_ref[...] = jax.lax.dot_general(
+                wy_ref[0, r, 0:8, :], sx_ref[0:32, r * os8 + q, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [8(p), C]
+
+            def ychunk(k, carry, r=r, q=q):
+                yacc_ref[...] += jax.lax.dot_general(
+                    wy_ref[0, r, pl.ds(pl.multiple_of(k * 8, 8), 8), :],
+                    sx_ref[pl.ds(pl.multiple_of(k * 32, 8), 32),
+                           r * os8 + q, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return carry
+
+            jax.lax.fori_loop(1, nky, ychunk, 0)
+            out_ref[0, r, q * out_size:(q + 1) * out_size, :] = (
+                yacc_ref[0:out_size, :].astype(out_ref.dtype))
+
+
+def _chunk_major(w: Array) -> Array:
+    """[B, N, out, span] one-hot strip -> [B, N, nchunks*8, 32] with
+    each chunk's rows 8-aligned (row 7 zero) for v7's dynamic-sublane
+    weight slices."""
+    bsz, n, o, span = w.shape
+    nk = span // 32
+    w = w.reshape(bsz, n, o, nk, 32).transpose(0, 1, 3, 2, 4)
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 8 - o), (0, 0)))
+    return w.reshape(bsz, n, nk * 8, 32)
+
+
 def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret,
           variant: str = 'v1', span: int = SPAN):
     grid = (bsz, n // CHUNK)
+    if variant == 'v7':
+        assert span % 32 == 0 and span % V3_GROUP == 0, (span, V3_GROUP)
+        nk8 = (span // 32) * 8
+        # `wide` carries the raw nx extents; wy/wx are chunk-major
+        return pl.pallas_call(
+            functools.partial(_kernel_v7, c=c, out_size=out_size,
+                              span=span),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, flat.shape[1], c),
+                                 lambda b, i, *_: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, nk8, 32),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, nk8, 32),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, CHUNK, out_size * out_size, c),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((32, V3_GROUP * c), jnp.bfloat16),
+                    pltpu.VMEM((span, CHUNK * 8, c), jnp.bfloat16),
+                    pltpu.VMEM((8, V3_GROUP * c), jnp.float32),
+                    pltpu.VMEM((8, c), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
+                                           jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(base, wl, ny, wide, flat, wy, wx)
+    if variant == 'v6':
+        assert span % 32 == 0 and span % V3_GROUP == 0, (span, V3_GROUP)
+        # `wide` carries the raw nx extents (see _pool_batched)
+        return pl.pallas_call(
+            functools.partial(_kernel_v6, c=c, out_size=out_size,
+                              span=span),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, flat.shape[1], c),
+                                 lambda b, i, *_: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, out_size, span),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, out_size, span),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, CHUNK, out_size * out_size, c),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((32, V3_GROUP * c), jnp.bfloat16),
+                    pltpu.VMEM((span, CHUNK * 8, c), jnp.bfloat16),
+                    pltpu.VMEM((8, V3_GROUP * c), jnp.float32),
+                    pltpu.VMEM((8, c), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
+                                           jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(base, wl, ny, wide, flat, wy, wx)
     if variant == 'v5':
         assert span % 32 == 0 and span % V3_GROUP == 0, (span, V3_GROUP)
         # `wide` carries the raw nx extents for v5 (see _pool_batched)
@@ -759,11 +1063,12 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     n = rois.shape[1]
     sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
     dt = jnp.bfloat16
-    span = _v5_span(sizes) if variant == 'v5' else SPAN
+    span = _v5_span(sizes) if variant in FULLCOV_VARIANTS else SPAN
 
+    fullcov = variant in FULLCOV_VARIANTS
     base, wl, ny, wide, nx, wy, wx = jax.vmap(
         lambda r: _plan(r, strides, sizes, out_size, sample_num,
-                        finest_scale, dt, span))(rois)
+                        finest_scale, dt, span, fullcov))(rois)
     # flat buffer with every level's width padded to a multiple of 8
     # (row alignment for the kernel's dynamic loads)
     flat = jnp.concatenate(
@@ -779,13 +1084,24 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     acc = 0
     for h, w in sizes:
         w8 = _pad8(w)
-        base_max = acc + max(h - span, 0) * w8 + (w8 - 8)
-        read_end = max(read_end, base_max + (span - 1) * w8 + span)
+        if fullcov:
+            # unclamped origin (oy <= h-1, ox <= w8-8): row reads go to
+            # ceil((h - oy)/G)*G - 1 rows past oy (<= h + G - 1), and
+            # column reads to ox + ceil(nx/32)*32 - 1 <= w8 + 30, which
+            # spills one row further down
+            base_max = acc + (h + V3_GROUP) * w8 + 32
+            read_end = max(read_end, base_max)
+        else:
+            base_max = acc + max(h - span, 0) * w8 + (w8 - 8)
+            read_end = max(read_end, base_max + (span - 1) * w8 + span)
         acc += h * w8
     flat = jnp.pad(flat, ((0, 0), (0, max(0, read_end - total)), (0, 0)))
 
-    out = _call(base, wl, ny, nx if variant == 'v5' else wide, flat,
-                wy, wx, bsz, n, c, out_size, interpret, variant, span)
+    if variant in CHUNK_MAJOR_VARIANTS:
+        wy = _chunk_major(wy)
+        wx = _chunk_major(wx)
+    out = _call(base, wl, ny, nx if variant in FULLCOV_VARIANTS else wide,
+                flat, wy, wx, bsz, n, c, out_size, interpret, variant, span)
     # v1 emits rows in (p, q) order, v2 in (q, p)
     if not flat_out:
         out = out.reshape(bsz, n, out_size, out_size, c)

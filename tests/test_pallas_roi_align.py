@@ -23,7 +23,7 @@ def _feats(rng, h0=96, w0=160, c=256, levels=4):
         for i in range(levels)]
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5'])
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'])
 def test_pallas_roi_align_matches_gather(variant):
     rng = np.random.default_rng(0)
     feats = _feats(rng, h0=64, w0=96, c=256)
@@ -47,7 +47,7 @@ def test_pallas_roi_align_matches_gather(variant):
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5'])
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'])
 def test_pallas_roi_align_larger_batch_of_rois(variant):
     rng = np.random.default_rng(1)
     feats = _feats(rng, h0=96, w0=160, c=256)
@@ -66,7 +66,7 @@ def test_pallas_roi_align_larger_batch_of_rois(variant):
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5'])
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'])
 def test_pallas_flat_out_matches_reshaped(variant):
     """flat_out returns the kernel's native row order: (p, q) rows for
     v1, (q, p) for v2 — consumers undo it via the documented order."""
@@ -109,7 +109,7 @@ def test_bbox_head_rank3_matches_rank4(order):
                                atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5'])
+@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'])
 def test_pallas_right_edge_on_non_multiple_of_8_level(variant):
     """STF-like stride-8 level width 156 (>SPAN, not %8): the x-origin
     clamp must bound against the PADDED width, or right-edge RoIs lose
@@ -130,7 +130,7 @@ def test_pallas_right_edge_on_non_multiple_of_8_level(variant):
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v3', 'v4', 'v5'])
+@pytest.mark.parametrize('variant', ['v1', 'v3', 'v4', 'v5', 'v6', 'v7'])
 def test_pallas_many_oversize_rois_multi_iteration_fallback(variant):
     """More oversize RoIs per image than FALLBACK: the fallback
     while_loop must run multiple iterations and still be exact."""
@@ -153,8 +153,9 @@ def test_pallas_many_oversize_rois_multi_iteration_fallback(variant):
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-def test_v5_full_axis_slivers_in_kernel_no_fallback():
-    """v5's window covers every clipped RoI (max extent = the stride-4
+@pytest.mark.parametrize('variant', ['v5', 'v6', 'v7'])
+def test_v5_full_axis_slivers_in_kernel_no_fallback(variant):
+    """v5/v6's window covers every clipped RoI (max extent = the stride-4
     level's own width/height), so extreme-aspect RPN slivers — 31.7% of
     stage-0 proposals on the honest bench inputs, previously 24 gather-
     fallback while iterations (perf/r4_02_roi_spans.log) — pool exactly
@@ -177,7 +178,7 @@ def test_v5_full_axis_slivers_in_kernel_no_fallback():
     ref = multilevel_roi_align(feats, rois, [4, 8, 16, 32],
                                gather_dtype=jnp.bfloat16)
     got = multilevel_roi_align_pallas(feats, rois, (4, 8, 16, 32),
-                                      interpret=INTERPRET, variant='v5')
+                                      interpret=INTERPRET, variant=variant)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                atol=0.05, rtol=0.05)
