@@ -115,7 +115,7 @@ def _v5_span(sizes) -> int:
 
 
 def _axis_strip(start, bin_size, size, origin, out_size, sample_num,
-                dtype, span=SPAN):
+                dtype, span=SPAN, chunk_major=False):
     """One-hot weights [N, out_size, span] relative to `origin`.
 
     Same sampling math as `roi_align._axis_onehot` (static grid), but
@@ -123,6 +123,12 @@ def _axis_strip(start, bin_size, size, origin, out_size, sample_num,
     of the full axis. Also returns the per-RoI count of window rows
     actually carrying weight (`n_rows` [N] int32 in [1, span]) so the
     kernel can stop staging at the RoI's true extent.
+
+    `chunk_major` emits [N, (span//32)*8, 32] instead — chunk k's
+    weights at 8-aligned rows [8k, 8k+out), row 7 zero — the layout
+    v7's dynamic-sublane weight slices want, built directly from the
+    broadcasted comparison (a post-hoc XLA transpose of the [N, out,
+    span] strip measured 2.9 ms/step across the 3 cascade stages).
     """
     g = sample_num
     s = (jnp.arange(g, dtype=start.dtype) + 0.5) / g
@@ -140,12 +146,26 @@ def _axis_strip(start, bin_size, size, origin, out_size, sample_num,
 
     rel_lo = lo - origin[:, None, None]                  # in [0, span)
     rel_hi = hi - origin[:, None, None]
+    n_rows = jnp.clip(((rel_hi + 1.0) * inside).max(axis=(1, 2)),
+                      1.0, span).astype(jnp.int32)
+    if chunk_major:
+        nk = span // 32
+        cols = jnp.arange(span, dtype=start.dtype).reshape(nk, 32)
+        # broadcast straight into [N, nk, out, g, 32] so the target
+        # layout falls out of the elementwise fusion, transpose-free
+        one_lo = (cols[None, :, None, None, :]
+                  == rel_lo[:, None, :, :, None])
+        one_hi = (cols[None, :, None, None, :]
+                  == rel_hi[:, None, :, :, None])
+        w = (one_lo * w_lo[:, None, :, :, None]
+             + one_hi * w_hi[:, None, :, :, None]).sum(axis=3)
+        w = jnp.pad(w.astype(dtype),
+                    ((0, 0), (0, 0), (0, 8 - out_size), (0, 0)))
+        return w.reshape(w.shape[0], nk * 8, 32), n_rows
     cols = jnp.arange(span, dtype=start.dtype)
     one_lo = (cols[None, None, None, :] == rel_lo[..., None])
     one_hi = (cols[None, None, None, :] == rel_hi[..., None])
     w = one_lo * w_lo[..., None] + one_hi * w_hi[..., None]
-    n_rows = jnp.clip(((rel_hi + 1.0) * inside).max(axis=(1, 2)),
-                      1.0, span).astype(jnp.int32)
     return w.sum(axis=2).astype(dtype), n_rows           # [N, out, span]
 
 
@@ -155,7 +175,7 @@ def _pad8(w: int) -> int:
 
 def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
           sample_num: int, finest_scale: int, dtype, span=SPAN,
-          fullcov: bool = False):
+          fullcov: bool = False, chunk_major: bool = False):
     """Per-RoI planning (plain jnp): window origins + weight strips.
 
     Mosaic requires dynamic VMEM loads to start at a multiple of 8
@@ -219,10 +239,10 @@ def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
 
     wy, ny = _axis_strip(y1, bh, heights.astype(rois.dtype),
                          oy.astype(rois.dtype), out_size, sample_num,
-                         dtype, span)
+                         dtype, span, chunk_major)
     wx, nx = _axis_strip(x1, bw, widths.astype(rois.dtype),
                          ox.astype(rois.dtype), out_size, sample_num,
-                         dtype, span)
+                         dtype, span, chunk_major)
     base = offset + oy * w8 + ox
     # wide flag: any x-tap beyond the window's first half -> the v1-v4
     # kernels must load the upper span/2 columns too (exact, from the
@@ -787,17 +807,6 @@ def _kernel_v7(base_ref, wl_ref, ny_ref, nx_ref, flat_ref, wy_ref, wx_ref,
                 yacc_ref[0:out_size, :].astype(out_ref.dtype))
 
 
-def _chunk_major(w: Array) -> Array:
-    """[B, N, out, span] one-hot strip -> [B, N, nchunks*8, 32] with
-    each chunk's rows 8-aligned (row 7 zero) for v7's dynamic-sublane
-    weight slices."""
-    bsz, n, o, span = w.shape
-    nk = span // 32
-    w = w.reshape(bsz, n, o, nk, 32).transpose(0, 1, 3, 2, 4)
-    w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 8 - o), (0, 0)))
-    return w.reshape(bsz, n, nk * 8, 32)
-
-
 def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret,
           variant: str = 'v1', span: int = SPAN):
     grid = (bsz, n // CHUNK)
@@ -1066,9 +1075,10 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
     span = _v5_span(sizes) if variant in FULLCOV_VARIANTS else SPAN
 
     fullcov = variant in FULLCOV_VARIANTS
+    cm = variant in CHUNK_MAJOR_VARIANTS
     base, wl, ny, wide, nx, wy, wx = jax.vmap(
         lambda r: _plan(r, strides, sizes, out_size, sample_num,
-                        finest_scale, dt, span, fullcov))(rois)
+                        finest_scale, dt, span, fullcov, cm))(rois)
     # flat buffer with every level's width padded to a multiple of 8
     # (row alignment for the kernel's dynamic loads)
     flat = jnp.concatenate(
@@ -1097,9 +1107,6 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
         acc += h * w8
     flat = jnp.pad(flat, ((0, 0), (0, max(0, read_end - total)), (0, 0)))
 
-    if variant in CHUNK_MAJOR_VARIANTS:
-        wy = _chunk_major(wy)
-        wx = _chunk_major(wx)
     out = _call(base, wl, ny, nx if variant in FULLCOV_VARIANTS else wide,
                 flat, wy, wx, bsz, n, c, out_size, interpret, variant, span)
     # v1 emits rows in (p, q) order, v2 in (q, p)

@@ -42,7 +42,7 @@ def main():
     ap.add_argument('--pool', choices=['onehot', 'gather'], default=None)
     ap.add_argument('--bf16', action='store_true',
                     help='bf16 params/compute (the bench configuration)')
-    ap.add_argument('--roi-variant', choices=['v1', 'v2', 'v3', 'v4', 'v5'],
+    ap.add_argument('--roi-variant', choices=['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'],
                     default=None)
     ap.add_argument('--fused', choices=['auto', 'off', 'on'], default=None)
     ap.add_argument('--zeros', action='store_true',
