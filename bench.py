@@ -72,6 +72,9 @@ def main():
                          '(default: config)')
     ap.add_argument('--fused', choices=['auto', 'off', 'on'], default=None,
                     help='override backbone fused_block (default: config)')
+    ap.add_argument('--attn', choices=['windowed', 'auto', 'slab'],
+                    default=None,
+                    help='override backbone attn_mode (default: config)')
     ap.add_argument('--zeros', action='store_true',
                     help='all-zero inputs (pre-r4 methodology). Zero '
                          'images make every RPN proposal an identical '
@@ -110,6 +113,10 @@ def main():
         model_cfg = dataclasses.replace(
             model_cfg, backbone=dataclasses.replace(
                 model_cfg.backbone, fused_block=args.fused))
+    if args.attn:
+        model_cfg = dataclasses.replace(
+            model_cfg, backbone=dataclasses.replace(
+                model_cfg.backbone, attn_mode=args.attn))
     dtype = None if (args.f32 or args.quick) else jnp.bfloat16
     det = CascadeRCNN(model_cfg, dtype=dtype)
     nmod = cfg.model.backbone.num_fused_modalities

@@ -26,7 +26,10 @@ from flax import linen as nn
 from hrfuser_tpu.layers.common import (BatchNorm, ConvCF1x1, DenseCF,
                                        DepthwiseConv3x3, DropPath, LayerNorm,
                                        torch_pad)
-from hrfuser_tpu.ops.window import (relative_position_index, window_partition,
+from hrfuser_tpu.ops.window import (expand_window_bias,
+                                    relative_position_index, slab_partition,
+                                    slab_partition_cf, slab_reverse,
+                                    slab_reverse_cf, window_partition,
                                     window_partition_cf, window_reverse,
                                     window_reverse_cf)
 
@@ -62,6 +65,22 @@ def resolve_layout(mode: str, h: int, w: int, c: int) -> str:
     if mode == 'auto' and prefer_cf(h, w, c):
         return 'cf'
     return 'nhwc'
+
+
+def resolve_attn_mode(mode: str, train: bool) -> str:
+    """Map the `attn_mode` knob ('windowed' | 'auto' | 'slab') to a
+    concrete formulation.
+
+    'slab' computes each window-row's attention as ONE [T, T] masked
+    matmul (T = window * padded-width) instead of per-window [49, 49]
+    batched dots behind 6-D partition transposes: ~50x the logits
+    FLOPs, but they land on the MXU while the transposes (~11 ms/step
+    on branch 0, perf/r4_03) and tiny-dot issue overhead disappear.
+    'auto' = slab in eval, windowed in train (the [T, T] logits of
+    every block are heavy to keep as autodiff residuals)."""
+    if mode in ('windowed', 'slab'):
+        return mode
+    return 'windowed' if train else 'slab'
 
 
 def resolve_fused(mode: str, train: bool) -> bool:
@@ -146,16 +165,22 @@ class LocalWindowSelfAttention(nn.Module):
     with_rpe: bool = True
     proj_drop: float = 0.0
     layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
+    attn_mode: str = 'windowed'          # 'windowed' | 'slab'
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         ws = self.window_size
+        slab = self.attn_mode == 'slab'
         bias = (RelativePositionBias(ws, self.num_heads, name='rpe')()
                 if self.with_rpe else None)
         if self.layout == 'cf':
             b, c, h, w = x.shape
-            wins = window_partition_cf(x, ws, ws)        # [B*nW, C, ws*ws]
+            if slab:
+                wins, wp = slab_partition_cf(x, ws, ws)  # [B*nS, C, T]
+                bias = expand_window_bias(bias, ws, ws, wp)
+            else:
+                wins = window_partition_cf(x, ws, ws)    # [B*nW, C, ws*ws]
             qkv = DenseCF(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                           name='qkv')(wins)
             q, k, v = jnp.split(qkv, 3, axis=1)
@@ -163,9 +188,15 @@ class LocalWindowSelfAttention(nn.Module):
             out = _window_attention_cf(q, k, v, self.num_heads, bias, scale)
             out = DenseCF(c, dtype=self.dtype, name='out_proj')(out)
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            if slab:
+                return slab_reverse_cf(out, b, h, w, ws, ws)
             return window_reverse_cf(out, b, h, w, ws, ws)
         b, h, w, c = x.shape
-        wins = window_partition(x, ws, ws)               # [B*nW, ws*ws, C]
+        if slab:
+            wins, wp = slab_partition(x, ws, ws)         # [B*nS, T, C]
+            bias = expand_window_bias(bias, ws, ws, wp)
+        else:
+            wins = window_partition(x, ws, ws)           # [B*nW, ws*ws, C]
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name='qkv')(wins)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -173,6 +204,8 @@ class LocalWindowSelfAttention(nn.Module):
         out = _window_attention(q, k, v, self.num_heads, bias, scale)
         out = nn.Dense(c, dtype=self.dtype, name='out_proj')(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        if slab:
+            return slab_reverse(out, b, h, w, ws, ws)
         return window_reverse(out, b, h, w, ws, ws)
 
 
@@ -188,18 +221,25 @@ class MultiWindowCrossAttention(nn.Module):
     with_rpe: bool = True
     proj_drop: float = 0.0
     layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
+    attn_mode: str = 'windowed'          # 'windowed' | 'slab'
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, y: Array,
                  deterministic: bool = True) -> Array:
         ws = self.window_size
+        slab = self.attn_mode == 'slab'
         bias = (RelativePositionBias(ws, self.num_heads, name='rpe')()
                 if self.with_rpe else None)
         if self.layout == 'cf':
             b, c, h, w = x.shape
-            xw = window_partition_cf(x, ws, ws)
-            yw = window_partition_cf(y, ws, ws)
+            if slab:
+                xw, wp = slab_partition_cf(x, ws, ws)
+                yw, _ = slab_partition_cf(y, ws, ws)
+                bias = expand_window_bias(bias, ws, ws, wp)
+            else:
+                xw = window_partition_cf(x, ws, ws)
+                yw = window_partition_cf(y, ws, ws)
             q = DenseCF(c, use_bias=self.qkv_bias, dtype=self.dtype,
                         name='q_proj')(xw)
             k = DenseCF(c, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -210,10 +250,17 @@ class MultiWindowCrossAttention(nn.Module):
             out = _window_attention_cf(q, k, v, self.num_heads, bias, scale)
             out = DenseCF(c, dtype=self.dtype, name='out_proj')(out)
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+            if slab:
+                return slab_reverse_cf(out, b, h, w, ws, ws)
             return window_reverse_cf(out, b, h, w, ws, ws)
         b, h, w, c = x.shape
-        xw = window_partition(x, ws, ws)
-        yw = window_partition(y, ws, ws)
+        if slab:
+            xw, wp = slab_partition(x, ws, ws)
+            yw, _ = slab_partition(y, ws, ws)
+            bias = expand_window_bias(bias, ws, ws, wp)
+        else:
+            xw = window_partition(x, ws, ws)
+            yw = window_partition(y, ws, ws)
         q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
                      name='q_proj')(xw)
         k = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -224,6 +271,8 @@ class MultiWindowCrossAttention(nn.Module):
         out = _window_attention(q, k, v, self.num_heads, bias, scale)
         out = nn.Dense(c, dtype=self.dtype, name='out_proj')(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        if slab:
+            return slab_reverse(out, b, h, w, ws, ws)
         return window_reverse(out, b, h, w, ws, ws)
 
 
@@ -274,6 +323,7 @@ class HRFormerBlock(nn.Module):
     drop_path: float = 0.0
     proj_drop: float = 0.0
     layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
+    attn_mode: str = 'windowed'          # 'windowed' | 'slab'
     fused: bool = False                  # eval-only Pallas fused path
     dtype: Optional[Dtype] = None
 
@@ -292,6 +342,7 @@ class HRFormerBlock(nn.Module):
         h = LocalWindowSelfAttention(self.num_heads, self.window_size,
                                      proj_drop=self.proj_drop,
                                      layout=self.layout,
+                                     attn_mode=self.attn_mode,
                                      dtype=self.dtype, name='attn')(h, det)
         x = x + DropPath(self.drop_path, name='drop_path1')(h, det)
         h = LayerNorm(epsilon=1e-6, axis=ax, name='norm2')(x)
@@ -320,6 +371,7 @@ class HRFuserFusionBlock(nn.Module):
     drop_path: float = 0.0
     proj_drop: float = 0.0
     layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
+    attn_mode: str = 'windowed'          # 'windowed' | 'slab'
     fused: bool = False                  # eval-only Pallas fused path
     dtype: Optional[Dtype] = None
 
@@ -342,7 +394,7 @@ class HRFuserFusionBlock(nn.Module):
             kv = LayerNorm(epsilon=1e-6, axis=ax, name=f'norm2_{k}')(z)
             a = MultiWindowCrossAttention(
                 self.num_heads, self.window_size, proj_drop=self.proj_drop,
-                layout=self.layout,
+                layout=self.layout, attn_mode=self.attn_mode,
                 dtype=self.dtype, name=f'attn_{k}')(q, kv, det)
             x = x + z + DropPath(self.drop_path, name=f'drop_path_{k}')(a, det)
         h = LayerNorm(epsilon=1e-6, axis=ax, name='norm3')(x)

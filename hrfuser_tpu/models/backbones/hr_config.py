@@ -81,6 +81,12 @@ class HRBackboneCfg:
     # Default 'off': measured a wash vs XLA at branch-0 (3.38 vs 3.30
     # ms/block) — flip to 'auto' only behind a full-model A/B win.
     fused_block: str = 'off'                 # 'off' | 'auto' | 'on'
+    # Window-attention formulation: 'slab' computes each window-row as
+    # one [T, T] masked matmul (transpose-free partition, MXU-shaped
+    # logits); 'auto' = slab in eval / windowed in train. Checkpoint-
+    # compatible either way (identical parameters & math; see
+    # `layers.attention.resolve_attn_mode`).
+    attn_mode: str = 'windowed'              # 'windowed' | 'auto' | 'slab'
 
     @property
     def pre_neck_fusion(self) -> bool:

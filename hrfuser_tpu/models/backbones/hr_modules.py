@@ -13,8 +13,8 @@ from typing import Any, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hrfuser_tpu.layers.attention import (HRFormerBlock, resolve_fused,
-                                           resolve_layout)
+from hrfuser_tpu.layers.attention import (HRFormerBlock, resolve_attn_mode,
+                                           resolve_fused, resolve_layout)
 from hrfuser_tpu.layers.common import (ConvNorm, ResLayer, bilinear_resize,
                                        nearest_up)
 from hrfuser_tpu.models.backbones.hr_config import StageCfg
@@ -148,6 +148,7 @@ class HRModule(nn.Module):
     module_index: int = 0                    # for the drop-path schedule
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
     fused_block: str = 'off'                 # 'off' | 'auto' | 'on'
+    attn_mode: str = 'windowed'              # 'windowed' | 'auto' | 'slab'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -166,6 +167,7 @@ class HRModule(nn.Module):
                 base = self.module_index * s.num_blocks[0]
                 b, h, w, c = x.shape
                 fused = resolve_fused(self.fused_block, train)
+                amode = resolve_attn_mode(self.attn_mode, train)
                 layout = ('nhwc' if fused
                           else resolve_layout(self.cf_layout, h, w, c))
                 if layout == 'cf':
@@ -178,6 +180,7 @@ class HRModule(nn.Module):
                         window_size=s.window_sizes[i],
                         mlp_ratio=s.mlp_ratios[i],
                         drop_path=dp, layout=layout, fused=fused,
+                        attn_mode=amode,
                         dtype=self.dtype,
                         name=f'branch{i}_block{j}')(x, train)
                 if layout == 'cf':
@@ -223,6 +226,7 @@ class HRStage(nn.Module):
     remat: bool = False
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
     fused_block: str = 'off'                 # 'off' | 'auto' | 'on'
+    attn_mode: str = 'windowed'              # 'windowed' | 'auto' | 'slab'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -237,7 +241,8 @@ class HRStage(nn.Module):
             ms_out = self.multiscale_output or m < s.num_modules - 1
             xs = mod_cls(s, chans, ms_out, module_index=m,
                          cf_layout=self.cf_layout,
-                         fused_block=self.fused_block, dtype=self.dtype,
+                         fused_block=self.fused_block,
+                         attn_mode=self.attn_mode, dtype=self.dtype,
                          name=f'module{m}')(xs, train)
             chans = s.out_channels
         return xs

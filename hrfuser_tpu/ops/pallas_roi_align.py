@@ -1115,6 +1115,16 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
         if variant in QP_VARIANTS:
             out = out.swapaxes(2, 3)                 # (q, p) -> (p, q)
 
+    if variant in FULLCOV_VARIANTS:
+        # The window covers EVERY RoI by construction: sample taps are
+        # clipped to [0, size-1] (_axis_strip), so no RoI's in-level
+        # extent can exceed its level's own size <= span (_v5_span) —
+        # even for boxes outside the image. The fallback below is
+        # unreachable, and keeping it is NOT free: its while carry
+        # forced XLA to relayout-copy the [B, N, 49, C] pool (3 x
+        # 0.73 ms/step at b8, %copy.15249/19/34 in the r4 v7 trace).
+        return out[:, :n_in]
+
     # Exact fallback for RoIs whose feature-space span exceeds the
     # window (aspect ratio beyond ~(SPAN/28)^2), as a `while_loop` that
     # runs ZERO iterations for the typical batch. Each iteration
