@@ -57,6 +57,16 @@ def main():
     ap.add_argument('--batch', type=int, default=4)
     ap.add_argument('--hw', type=int, nargs=2, default=(384, 640))
     ap.add_argument('--topk', type=int, default=50)
+    ap.add_argument('--overfit-steps', type=int, default=0,
+                    help='first overfit the model on one fixed synthetic '
+                         'GT batch for N steps (bf16 train step, f32 '
+                         'master params), then measure drift on THAT '
+                         'batch. Random-init weights produce near-'
+                         'uniform scores whose NMS survivors are tie-'
+                         'broken by rounding noise (rank churn ~1 by '
+                         'construction, meaningless for parity risk); '
+                         'confident detections are the regime the '
+                         '"mAP within 0.1" bar lives in.')
     args = ap.parse_args()
 
     from hrfuser_tpu.configs import get_config
@@ -79,21 +89,50 @@ def main():
 
     # ONE set of weights (f32 master), shared by both paths — flax casts
     # per-module via the dtype attribute, params stay f32.
-    variables = jax.jit(functools.partial(det32.init, train=False))(
-        jax.random.PRNGKey(0), img0, mods0)
+    variables = jax.jit(functools.partial(det32.init, train=True))(
+        jax.random.PRNGKey(0), img0, mods0) if args.overfit_steps else \
+        jax.jit(functools.partial(det32.init, train=False))(
+            jax.random.PRNGKey(0), img0, mods0)
+
+    eval_batches = None
+    if args.overfit_steps:
+        import sys as _s
+        _s.path.insert(0, _osp.dirname(_osp.abspath(__file__)))
+        from train import synthetic_batches
+        from hrfuser_tpu.apis.train import (create_train_state,
+                                            make_train_step)
+        batch = next(synthetic_batches(cfg, args.batch, hw=(h, w), pool=1))
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        state, tx = create_train_state(det16, variables, cfg.optim,
+                                       cfg.schedule, steps_per_epoch=1000)
+        step_fn = jax.jit(make_train_step(det16, tx), donate_argnums=0)
+        rng_t = jax.random.PRNGKey(7)
+        for i in range(args.overfit_steps):
+            state, metrics = step_fn(state, batch, rng_t)
+            if (i + 1) % 50 == 0 or i == 0:
+                print(f'[overfit {i + 1}/{args.overfit_steps}] '
+                      f'loss={float(metrics["loss"]):.4f}', flush=True)
+        variables = {'params': state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        eval_batches = [(batch['img'],
+                         list(batch.get('mod_imgs', [])) or None)]
 
     p32 = jax.jit(functools.partial(predict, det32))
     p16 = jax.jit(functools.partial(predict, det16))
 
     box_deltas, score_deltas, churns, cnt_deltas = [], [], [], []
-    for bi in range(args.batches):
-        r = np.random.default_rng(100 + bi)
-        img = jnp.asarray(r.normal(0., 1., (args.batch, h, w, 3)),
-                          jnp.float32)
-        mods = ([jnp.asarray(r.normal(0., 1., (args.batch, h, w, c)),
-                             jnp.float32)
-                 for c in (cfg.model.backbone.mod_in_channels or [])][:nmod]
-                if nmod else None)
+    for bi in range(len(eval_batches) if eval_batches else args.batches):
+        if eval_batches:
+            img, mods = eval_batches[bi]
+        else:
+            r = np.random.default_rng(100 + bi)
+            img = jnp.asarray(r.normal(0., 1., (args.batch, h, w, 3)),
+                              jnp.float32)
+            mods = ([jnp.asarray(r.normal(0., 1., (args.batch, h, w, c)),
+                                 jnp.float32)
+                     for c in (cfg.model.backbone.mod_in_channels or [])
+                     ][:nmod] if nmod else None)
         d32 = jax.tree_util.tree_map(np.asarray, p32(variables, img, mods))
         d16 = jax.tree_util.tree_map(np.asarray, p16(variables, img, mods))
 
