@@ -38,7 +38,7 @@ step() {
 
 step 00_devices python -u -c "import jax; print(jax.devices())"
 
-# headline bench (committed defaults: cf auto + v1 kernel, last-sync)
+# headline bench (committed defaults: cf auto + v7 kernel, honest inputs)
 step 10_bench python bench.py --latency
 # A/B: layout off (isolates the CF win)
 step 11_bench_cf_off python bench.py --cf off
@@ -46,9 +46,11 @@ step 11_bench_cf_off python bench.py --cf off
 step 12_bench_b16 python bench.py --batch 16
 
 # full-model trace at batch 8 for the op breakdown (+ grouped)
+# --iters 2: jax.profiler traces beyond ~2-5 steps hang the tunnel
+# (r4 lesson, see .claude/skills/verify/SKILL.md)
 step 20_trace python tools/profile.py \
     cascade_rcnn_hrfuser_t_1x_nus_r640_l_r_fusion \
-    --mode infer --batch 8 --bf16 --trace-dir "$OUT/trace_infer"
+    --mode infer --batch 8 --bf16 --iters 2 --trace-dir "$OUT/trace_infer"
 step 21_trace_ops python tools/trace_ops.py "$OUT/trace_infer" --top 25
 step 22_trace_groups python tools/trace_groups.py "$OUT/trace_infer"
 
@@ -57,14 +59,14 @@ step 25_flops python tools/get_flops.py \
     cascade_rcnn_hrfuser_t_1x_nus_r640_l_r_fusion --batch 8 --bf16
 
 # standalone RoIAlign kernel A/B on a realistic RoI distribution
-step 30_roi_lab python tools/roi_kernel_lab.py --variants v1 --check
+step 30_roi_lab python tools/roi_kernel_lab.py --variants v4 v7 --check
 
 # train: convergence smoke + honest throughput
 step 50_overfit python tools/train.py tiny_fusion_test --synthetic \
     --overfit-check --max-iters 200 --log-interval 20 --img-hw 64 96
 step 51_train_tput python tools/profile.py \
     cascade_rcnn_hrfuser_t_1x_nus_r640_l_r_fusion \
-    --mode train --batch 8 --bf16 --remat
+    --mode train --batch 8 --bf16 --iters 2 --trace-dir "$OUT/trace_train"
 
 echo '' >> "$SUMMARY"
 echo '}' >> "$SUMMARY"
