@@ -66,15 +66,9 @@ def main():
                     help='override RoIAlign formulation (default: config)')
     ap.add_argument('--cf', choices=['auto', 'off', 'on'], default=None,
                     help='override backbone cf_layout (default: config)')
-    ap.add_argument('--roi-variant', choices=['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'],
-                    default=None,
+    ap.add_argument('--roi-variant', choices=['v4', 'v7'], default=None,
                     help='override the Pallas RoIAlign kernel variant '
                          '(default: config)')
-    ap.add_argument('--fused', choices=['auto', 'off', 'on'], default=None,
-                    help='override backbone fused_block (default: config)')
-    ap.add_argument('--attn', choices=['windowed', 'auto', 'slab'],
-                    default=None,
-                    help='override backbone attn_mode (default: config)')
     ap.add_argument('--zeros', action='store_true',
                     help='all-zero inputs (pre-r4 methodology). Zero '
                          'images make every RPN proposal an identical '
@@ -109,14 +103,6 @@ def main():
         model_cfg = dataclasses.replace(
             model_cfg, roi=dataclasses.replace(
                 model_cfg.roi, pallas_variant=args.roi_variant))
-    if args.fused:
-        model_cfg = dataclasses.replace(
-            model_cfg, backbone=dataclasses.replace(
-                model_cfg.backbone, fused_block=args.fused))
-    if args.attn:
-        model_cfg = dataclasses.replace(
-            model_cfg, backbone=dataclasses.replace(
-                model_cfg.backbone, attn_mode=args.attn))
     dtype = None if (args.f32 or args.quick) else jnp.bfloat16
     det = CascadeRCNN(model_cfg, dtype=dtype)
     nmod = cfg.model.backbone.num_fused_modalities

@@ -4,8 +4,11 @@ Rebuild of `single_gpu_test` / `multi_gpu_test`
 (`mmdet/apis/test.py:18-308`): iterate the test loader, run the jitted
 predict, collect per-image detections host-side, then evaluate with the
 dataset's metric (COCO mAP for nuScenes, KITTI AP with eval-on-crop for
-STF). Cross-device result collection is just host transfer of the
-batch-sharded outputs — no tmpdir-pickle/all_gather machinery needed.
+STF). Cross-device result collection: single-host shards are plain
+host transfers; on multi-host slices each process keeps its own rows
+(`parallel.mesh.local_rows`) and the per-process result lists are
+exchanged once at the end (`parallel.mesh.collect_results` — the
+pickled-bytes all-gather of ref `mmdet/apis/test.py:278-308`).
 """
 
 from __future__ import annotations
@@ -35,10 +38,19 @@ def run_inference(detector, variables, loader, progress: bool = True,
     if mesh is None and len(jax.devices()) > 1:
         from hrfuser_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
+    to_global = None
     if mesh is not None and mesh.size > 1:
         from hrfuser_tpu.parallel.api import make_sharded_predict
         pred = make_sharded_predict(detector, mesh)
         pad_to = mesh.size
+        if jax.process_count() > 1:
+            # multi-host: each process's loader yields its own slice of
+            # the global batch (the reference's DistributedSampler
+            # contract); assemble global arrays before the jit call and
+            # shrink the per-process pad target to the local device count
+            from hrfuser_tpu.parallel.mesh import host_local_to_global
+            to_global = functools.partial(host_local_to_global, mesh)
+            pad_to = mesh.size // jax.process_count()
     else:
         pred = jax.jit(functools.partial(predict, detector))
         pad_to = 1
@@ -58,13 +70,18 @@ def run_inference(detector, variables, loader, progress: bool = True,
             mod_imgs = [pad(m) for m in mod_imgs] if mod_imgs else mod_imgs
             img_shapes = pad(img_shapes)
             scale_factors = pad(scale_factors)
+        if to_global is not None:
+            img, mod_imgs, img_shapes, scale_factors = to_global(
+                (img, mod_imgs, img_shapes, scale_factors))
         out = pred({'params': variables['params'],
                     'batch_stats': variables.get('batch_stats', {})},
                    img, mod_imgs, img_shapes, scale_factors)
-        boxes = np.asarray(out.boxes)
-        scores = np.asarray(out.scores)
-        labels = np.asarray(out.labels)
-        valid = np.asarray(out.valid)
+        # multi-host-safe collection: `local_rows` pulls exactly this
+        # process's rows (the rows its loader fed), which pair with the
+        # process-local metas below; single-host it is a plain transfer
+        from hrfuser_tpu.parallel.mesh import local_rows
+        boxes, scores, labels, valid = map(
+            local_rows, (out.boxes, out.scores, out.labels, out.valid))
         real = num_real
         for i in range(real):
             v = valid[i]
@@ -77,6 +94,12 @@ def run_inference(detector, variables, loader, progress: bool = True,
             print(f'\r[test] {done} imgs ({rate:.1f} img/s)', end='')
     if progress:
         print()
+    if jax.process_count() > 1:
+        # exchange per-process result lists so every host holds the
+        # full set for metric evaluation (reference rank-0 gather,
+        # mmdet/apis/test.py:235-308)
+        from hrfuser_tpu.parallel.mesh import collect_results
+        results = collect_results(results)
     return results
 
 

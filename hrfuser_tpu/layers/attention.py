@@ -26,12 +26,9 @@ from flax import linen as nn
 from hrfuser_tpu.layers.common import (BatchNorm, ConvCF1x1, DenseCF,
                                        DepthwiseConv3x3, DropPath, LayerNorm,
                                        torch_pad)
-from hrfuser_tpu.ops.window import (expand_window_bias,
-                                    relative_position_index, slab_partition,
-                                    slab_partition_cf, slab_reverse,
-                                    slab_reverse_cf, window_partition,
-                                    window_partition_cf, window_reverse,
-                                    window_reverse_cf)
+from hrfuser_tpu.ops.window import (relative_position_index,
+                                    window_partition, window_partition_cf,
+                                    window_reverse, window_reverse_cf)
 
 Array = jnp.ndarray
 Dtype = Any
@@ -65,36 +62,6 @@ def resolve_layout(mode: str, h: int, w: int, c: int) -> str:
     if mode == 'auto' and prefer_cf(h, w, c):
         return 'cf'
     return 'nhwc'
-
-
-def resolve_attn_mode(mode: str, train: bool) -> str:
-    """Map the `attn_mode` knob ('windowed' | 'auto' | 'slab') to a
-    concrete formulation.
-
-    'slab' computes each window-row's attention as ONE [T, T] masked
-    matmul (T = window * padded-width) instead of per-window [49, 49]
-    batched dots behind 6-D partition transposes: ~50x the logits
-    FLOPs, but they land on the MXU while the transposes (~11 ms/step
-    on branch 0, perf/r4_03) and tiny-dot issue overhead disappear.
-    'auto' = slab in eval, windowed in train (the [T, T] logits of
-    every block are heavy to keep as autodiff residuals)."""
-    if mode in ('windowed', 'slab'):
-        return mode
-    return 'windowed' if train else 'slab'
-
-
-def resolve_fused(mode: str, train: bool) -> bool:
-    """Map the `fused_block` knob to a per-call decision.
-
-    The fused Pallas block kernels are eval-only (no custom VJP) and
-    TPU-only under 'auto' (interpret mode is orders of magnitude too
-    slow for CPU runs — same routing rule as the RoIAlign kernel)."""
-    if train or mode == 'off':
-        return False
-    if mode == 'on':
-        return True
-    import jax
-    return jax.default_backend() == 'tpu'
 
 
 class RelativePositionBias(nn.Module):
@@ -165,22 +132,16 @@ class LocalWindowSelfAttention(nn.Module):
     with_rpe: bool = True
     proj_drop: float = 0.0
     layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
-    attn_mode: str = 'windowed'          # 'windowed' | 'slab'
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         ws = self.window_size
-        slab = self.attn_mode == 'slab'
         bias = (RelativePositionBias(ws, self.num_heads, name='rpe')()
                 if self.with_rpe else None)
         if self.layout == 'cf':
             b, c, h, w = x.shape
-            if slab:
-                wins, wp = slab_partition_cf(x, ws, ws)  # [B*nS, C, T]
-                bias = expand_window_bias(bias, ws, ws, wp)
-            else:
-                wins = window_partition_cf(x, ws, ws)    # [B*nW, C, ws*ws]
+            wins = window_partition_cf(x, ws, ws)        # [B*nW, C, ws*ws]
             qkv = DenseCF(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                           name='qkv')(wins)
             q, k, v = jnp.split(qkv, 3, axis=1)
@@ -188,15 +149,9 @@ class LocalWindowSelfAttention(nn.Module):
             out = _window_attention_cf(q, k, v, self.num_heads, bias, scale)
             out = DenseCF(c, dtype=self.dtype, name='out_proj')(out)
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
-            if slab:
-                return slab_reverse_cf(out, b, h, w, ws, ws)
             return window_reverse_cf(out, b, h, w, ws, ws)
         b, h, w, c = x.shape
-        if slab:
-            wins, wp = slab_partition(x, ws, ws)         # [B*nS, T, C]
-            bias = expand_window_bias(bias, ws, ws, wp)
-        else:
-            wins = window_partition(x, ws, ws)           # [B*nW, ws*ws, C]
+        wins = window_partition(x, ws, ws)               # [B*nW, ws*ws, C]
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name='qkv')(wins)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -204,8 +159,6 @@ class LocalWindowSelfAttention(nn.Module):
         out = _window_attention(q, k, v, self.num_heads, bias, scale)
         out = nn.Dense(c, dtype=self.dtype, name='out_proj')(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
-        if slab:
-            return slab_reverse(out, b, h, w, ws, ws)
         return window_reverse(out, b, h, w, ws, ws)
 
 
@@ -221,25 +174,18 @@ class MultiWindowCrossAttention(nn.Module):
     with_rpe: bool = True
     proj_drop: float = 0.0
     layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
-    attn_mode: str = 'windowed'          # 'windowed' | 'slab'
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, y: Array,
                  deterministic: bool = True) -> Array:
         ws = self.window_size
-        slab = self.attn_mode == 'slab'
         bias = (RelativePositionBias(ws, self.num_heads, name='rpe')()
                 if self.with_rpe else None)
         if self.layout == 'cf':
             b, c, h, w = x.shape
-            if slab:
-                xw, wp = slab_partition_cf(x, ws, ws)
-                yw, _ = slab_partition_cf(y, ws, ws)
-                bias = expand_window_bias(bias, ws, ws, wp)
-            else:
-                xw = window_partition_cf(x, ws, ws)
-                yw = window_partition_cf(y, ws, ws)
+            xw = window_partition_cf(x, ws, ws)
+            yw = window_partition_cf(y, ws, ws)
             q = DenseCF(c, use_bias=self.qkv_bias, dtype=self.dtype,
                         name='q_proj')(xw)
             k = DenseCF(c, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -250,17 +196,10 @@ class MultiWindowCrossAttention(nn.Module):
             out = _window_attention_cf(q, k, v, self.num_heads, bias, scale)
             out = DenseCF(c, dtype=self.dtype, name='out_proj')(out)
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
-            if slab:
-                return slab_reverse_cf(out, b, h, w, ws, ws)
             return window_reverse_cf(out, b, h, w, ws, ws)
         b, h, w, c = x.shape
-        if slab:
-            xw, wp = slab_partition(x, ws, ws)
-            yw, _ = slab_partition(y, ws, ws)
-            bias = expand_window_bias(bias, ws, ws, wp)
-        else:
-            xw = window_partition(x, ws, ws)
-            yw = window_partition(y, ws, ws)
+        xw = window_partition(x, ws, ws)
+        yw = window_partition(y, ws, ws)
         q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
                      name='q_proj')(xw)
         k = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -271,8 +210,6 @@ class MultiWindowCrossAttention(nn.Module):
         out = _window_attention(q, k, v, self.num_heads, bias, scale)
         out = nn.Dense(c, dtype=self.dtype, name='out_proj')(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
-        if slab:
-            return slab_reverse(out, b, h, w, ws, ws)
         return window_reverse(out, b, h, w, ws, ws)
 
 
@@ -311,11 +248,6 @@ class HRFormerBlock(nn.Module):
     """LN -> LSA -> +residual; LN -> CrossFFN -> +residual; with DropPath.
 
     (`hrformer.py:298-386`). Input/output NHWC.
-
-    `fused=True` routes eval-mode calls through the fully-fused Pallas
-    block kernels (`ops/pallas_block.py`) — same parameters, same math
-    (BNs folded with running stats), two HBM round-trips per block
-    instead of dozens. Training and init always use the flax path.
     """
     num_heads: int
     window_size: int = 7
@@ -323,18 +255,10 @@ class HRFormerBlock(nn.Module):
     drop_path: float = 0.0
     proj_drop: float = 0.0
     layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
-    attn_mode: str = 'windowed'          # 'windowed' | 'slab'
-    fused: bool = False                  # eval-only Pallas fused path
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        if (self.fused and not train and not self.is_initializing()
-                and self.layout == 'nhwc'):
-            from hrfuser_tpu.ops.pallas_block import fused_hrformer_block
-            return fused_hrformer_block(x, self.variables,
-                                        num_heads=self.num_heads,
-                                        window=self.window_size)
         ax = 1 if self.layout == 'cf' else -1
         c = x.shape[ax]
         det = not train
@@ -342,7 +266,6 @@ class HRFormerBlock(nn.Module):
         h = LocalWindowSelfAttention(self.num_heads, self.window_size,
                                      proj_drop=self.proj_drop,
                                      layout=self.layout,
-                                     attn_mode=self.attn_mode,
                                      dtype=self.dtype, name='attn')(h, det)
         x = x + DropPath(self.drop_path, name='drop_path1')(h, det)
         h = LayerNorm(epsilon=1e-6, axis=ax, name='norm2')(x)
@@ -371,19 +294,11 @@ class HRFuserFusionBlock(nn.Module):
     drop_path: float = 0.0
     proj_drop: float = 0.0
     layout: str = 'nhwc'                 # 'nhwc' | 'cf' ([B, C, H, W] io)
-    attn_mode: str = 'windowed'          # 'windowed' | 'slab'
-    fused: bool = False                  # eval-only Pallas fused path
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, mods: List[Array], train: bool) -> Array:
         assert len(mods) == self.num_modalities
-        if (self.fused and not train and not self.is_initializing()
-                and self.layout == 'nhwc'):
-            from hrfuser_tpu.ops.pallas_block import fused_fusion_block
-            return fused_fusion_block(x, list(mods), self.variables,
-                                      num_heads=self.num_heads,
-                                      window=self.window_size)
         ax = 1 if self.layout == 'cf' else -1
         c = x.shape[ax]
         det = not train
@@ -394,7 +309,7 @@ class HRFuserFusionBlock(nn.Module):
             kv = LayerNorm(epsilon=1e-6, axis=ax, name=f'norm2_{k}')(z)
             a = MultiWindowCrossAttention(
                 self.num_heads, self.window_size, proj_drop=self.proj_drop,
-                layout=self.layout, attn_mode=self.attn_mode,
+                layout=self.layout,
                 dtype=self.dtype, name=f'attn_{k}')(q, kv, det)
             x = x + z + DropPath(self.drop_path, name=f'drop_path_{k}')(a, det)
         h = LayerNorm(epsilon=1e-6, axis=ax, name='norm3')(x)

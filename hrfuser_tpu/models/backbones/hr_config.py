@@ -74,19 +74,14 @@ class HRBackboneCfg:
     # branch from static shapes; see `layers.attention.prefer_cf`).
     # Checkpoint-compatible either way: both layouts share parameters.
     cf_layout: str = 'auto'                  # 'off' | 'auto' | 'on'
-    # Eval-mode fully-fused Pallas block kernels (ops/pallas_block.py):
-    # one kernel for LN+window-attention+proj+residual, one for
-    # LN+CrossFFN+residual. 'auto' enables them on TPU backends only;
-    # training always uses the flax path (kernels have no custom VJP).
-    # Default 'off': measured a wash vs XLA at branch-0 (3.38 vs 3.30
-    # ms/block) — flip to 'auto' only behind a full-model A/B win.
-    fused_block: str = 'off'                 # 'off' | 'auto' | 'on'
-    # Window-attention formulation: 'slab' computes each window-row as
-    # one [T, T] masked matmul (transpose-free partition, MXU-shaped
-    # logits); 'auto' = slab in eval / windowed in train. Checkpoint-
-    # compatible either way (identical parameters & math; see
-    # `layers.attention.resolve_attn_mode`).
-    attn_mode: str = 'windowed'              # 'windowed' | 'auto' | 'slab'
+    # Retired knobs (r5 pruning; VERDICT r4 weak #2/#6): `fused_block`
+    # (per-block Pallas kernels, -9% end-to-end, perf/r4_05) and
+    # `attn_mode='slab'` ([T, T] masked-slab attention, 4.8x slower,
+    # perf/r4_07) measured as full-model negatives and their routing
+    # was removed from the production modules. The kernels survive as
+    # the lab file ops/pallas_block.py (+ tests/test_pallas_block.py,
+    # tools/probe_fused_block.py); the negatives stay documented in
+    # perf/ and ROUND4.md.
 
     @property
     def pre_neck_fusion(self) -> bool:

@@ -13,8 +13,7 @@ from typing import Any, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hrfuser_tpu.layers.attention import (HRFormerBlock, resolve_attn_mode,
-                                           resolve_fused, resolve_layout)
+from hrfuser_tpu.layers.attention import HRFormerBlock, resolve_layout
 from hrfuser_tpu.layers.common import (ConvNorm, ResLayer, bilinear_resize,
                                        nearest_up)
 from hrfuser_tpu.models.backbones.hr_config import StageCfg
@@ -147,8 +146,6 @@ class HRModule(nn.Module):
     multiscale_output: bool = True
     module_index: int = 0                    # for the drop-path schedule
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
-    fused_block: str = 'off'                 # 'off' | 'auto' | 'on'
-    attn_mode: str = 'windowed'              # 'windowed' | 'auto' | 'slab'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -166,10 +163,7 @@ class HRModule(nn.Module):
                 nblk = s.num_blocks[i]
                 base = self.module_index * s.num_blocks[0]
                 b, h, w, c = x.shape
-                fused = resolve_fused(self.fused_block, train)
-                amode = resolve_attn_mode(self.attn_mode, train)
-                layout = ('nhwc' if fused
-                          else resolve_layout(self.cf_layout, h, w, c))
+                layout = resolve_layout(self.cf_layout, h, w, c)
                 if layout == 'cf':
                     x = x.transpose(0, 3, 1, 2)          # NHWC -> [B,C,H,W]
                 for j in range(nblk):
@@ -179,8 +173,7 @@ class HRModule(nn.Module):
                         num_heads=s.num_heads[i],
                         window_size=s.window_sizes[i],
                         mlp_ratio=s.mlp_ratios[i],
-                        drop_path=dp, layout=layout, fused=fused,
-                        attn_mode=amode,
+                        drop_path=dp, layout=layout,
                         dtype=self.dtype,
                         name=f'branch{i}_block{j}')(x, train)
                 if layout == 'cf':
@@ -225,8 +218,6 @@ class HRStage(nn.Module):
     multiscale_output: bool = True
     remat: bool = False
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
-    fused_block: str = 'off'                 # 'off' | 'auto' | 'on'
-    attn_mode: str = 'windowed'              # 'windowed' | 'auto' | 'slab'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -240,9 +231,7 @@ class HRStage(nn.Module):
         for m in range(s.num_modules):
             ms_out = self.multiscale_output or m < s.num_modules - 1
             xs = mod_cls(s, chans, ms_out, module_index=m,
-                         cf_layout=self.cf_layout,
-                         fused_block=self.fused_block,
-                         attn_mode=self.attn_mode, dtype=self.dtype,
+                         cf_layout=self.cf_layout, dtype=self.dtype,
                          name=f'module{m}')(xs, train)
             chans = s.out_channels
         return xs

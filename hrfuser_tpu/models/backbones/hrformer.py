@@ -52,24 +52,21 @@ class HRFormerBackbone(nn.Module):
         xs = Transition(stage1_out, cfg.stage2.out_channels,
                         dtype=self.dtype, name='transition1')([x], train)
         xs = HRStage(cfg.stage2, cfg.stage2.out_channels, remat=cfg.remat,
-                     cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                     attn_mode=cfg.attn_mode,
+                     cf_layout=cfg.cf_layout,
                      dtype=self.dtype,
                      name='stage2')(xs, train)
 
         xs = Transition(cfg.stage2.out_channels, cfg.stage3.out_channels,
                         dtype=self.dtype, name='transition2')(xs, train)
         xs = HRStage(cfg.stage3, cfg.stage3.out_channels, remat=cfg.remat,
-                     cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                     attn_mode=cfg.attn_mode,
+                     cf_layout=cfg.cf_layout,
                      dtype=self.dtype,
                      name='stage3')(xs, train)
 
         xs = Transition(cfg.stage3.out_channels, cfg.stage4.out_channels,
                         dtype=self.dtype, name='transition3')(xs, train)
         xs = HRStage(cfg.stage4, cfg.stage4.out_channels, remat=cfg.remat,
-                     cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                     attn_mode=cfg.attn_mode,
+                     cf_layout=cfg.cf_layout,
                      dtype=self.dtype,
                      name='stage4')(xs, train)
         return xs

@@ -24,9 +24,7 @@ from typing import Any, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hrfuser_tpu.layers.attention import (HRFuserFusionBlock,
-                                           resolve_attn_mode,
-                                           resolve_fused, resolve_layout)
+from hrfuser_tpu.layers.attention import HRFuserFusionBlock, resolve_layout
 from hrfuser_tpu.layers.common import ConvNorm, ResLayer
 from hrfuser_tpu.models.backbones.hr_config import (FusionCfg, HRBackboneCfg,
                                                     StageCfg)
@@ -43,8 +41,6 @@ class FusionBank(nn.Module):
     num_modalities: int
     remat: bool = False
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
-    fused_block: str = 'off'                 # 'off' | 'auto' | 'on'
-    attn_mode: str = 'windowed'              # 'windowed' | 'auto' | 'slab'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -57,10 +53,7 @@ class FusionBank(nn.Module):
         for i in range(f.num_branches):
             x, ms = xs[i], mods[i]
             b, h, w, c = x.shape
-            fused = resolve_fused(self.fused_block, train)
-            amode = resolve_attn_mode(self.attn_mode, train)
-            layout = ('nhwc' if fused
-                      else resolve_layout(self.cf_layout, h, w, c))
+            layout = resolve_layout(self.cf_layout, h, w, c)
             if layout == 'cf':
                 x = x.transpose(0, 3, 1, 2)
                 ms = [m.transpose(0, 3, 1, 2) for m in ms]
@@ -72,8 +65,6 @@ class FusionBank(nn.Module):
                 drop_path=f.drop_path,
                 proj_drop=f.proj_drop_rate,
                 layout=layout,
-                attn_mode=amode,
-                fused=fused,
                 dtype=self.dtype,
                 name=f'branch{i}')(x, ms, train)
             if layout == 'cf':
@@ -88,8 +79,6 @@ class ModalityStage(nn.Module):
     num_modalities: int
     remat: bool = False
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
-    fused_block: str = 'off'                 # 'off' | 'auto' | 'on'
-    attn_mode: str = 'windowed'              # 'windowed' | 'auto' | 'slab'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -98,8 +87,6 @@ class ModalityStage(nn.Module):
         for k in range(self.num_modalities):
             y = HRStage(self.stage, self.stage.out_channels,
                         remat=self.remat, cf_layout=self.cf_layout,
-                        fused_block=self.fused_block,
-                        attn_mode=self.attn_mode,
                         dtype=self.dtype, name=f'mod{k}')([feats[k]], train)
             out.append(y[0])
         return out
@@ -162,16 +149,13 @@ class HRFuserBackbone(nn.Module):
                                   dtype=self.dtype,
                                   name='transition_a')(mods, train)
         xs = FusionBank(cfg.fusion_a, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                        attn_mode=cfg.attn_mode, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                         name='fusion_a')(xs, m_br, train)
         ys = HRStage(cfg.stage2, cfg.stage2.out_channels, remat=cfg.remat,
-                     cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                        attn_mode=cfg.attn_mode, dtype=self.dtype,
+                     cf_layout=cfg.cf_layout, dtype=self.dtype,
                      name='stage2')(xs, train)
         mods = ModalityStage(cfg.stage_b, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                        attn_mode=cfg.attn_mode, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                              name='stage_b')(m_br[0], train)
 
         # ---- stage 3 (+ fusion B, modality stage C) ----
@@ -182,16 +166,13 @@ class HRFuserBackbone(nn.Module):
                                   dtype=self.dtype,
                                   name='transition_b')(mods, train)
         xs = FusionBank(cfg.fusion_b, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                        attn_mode=cfg.attn_mode, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                         name='fusion_b')(xs, m_br, train)
         ys = HRStage(cfg.stage3, cfg.stage3.out_channels, remat=cfg.remat,
-                     cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                        attn_mode=cfg.attn_mode, dtype=self.dtype,
+                     cf_layout=cfg.cf_layout, dtype=self.dtype,
                      name='stage3')(xs, train)
         mods = ModalityStage(cfg.stage_c, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                        attn_mode=cfg.attn_mode, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                              name='stage_c')(m_br[0], train)
 
         # ---- stage 4 (+ fusion C) ----
@@ -202,27 +183,23 @@ class HRFuserBackbone(nn.Module):
                                   dtype=self.dtype,
                                   name='transition_c')(mods, train)
         xs = FusionBank(cfg.fusion_c, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                        attn_mode=cfg.attn_mode, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                         name='fusion_c')(xs, m_br, train)
         ys = HRStage(cfg.stage4, cfg.stage4.out_channels, remat=cfg.remat,
-                     cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                        attn_mode=cfg.attn_mode, dtype=self.dtype,
+                     cf_layout=cfg.cf_layout, dtype=self.dtype,
                      name='stage4')(xs, train)
 
         # ---- optional modality stage D + pre-neck fusion ----
         if cfg.pre_neck_fusion:
             mods = ModalityStage(cfg.stage_d, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                        attn_mode=cfg.attn_mode, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                                  name='stage_d')(m_br[0], train)
             m_br = ModalityTransition(cfg.stage_d.out_channels,
                                       cfg.fusion_d.num_channels, nm,
                                       dtype=self.dtype,
                                       name='transition_d')(mods, train)
             xs = FusionBank(cfg.fusion_d, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, fused_block=cfg.fused_block,
-                        attn_mode=cfg.attn_mode, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout, dtype=self.dtype,
                             name='fusion_d')(ys, m_br, train)
             ys = [nn.relu(v) for v in xs]
         return ys

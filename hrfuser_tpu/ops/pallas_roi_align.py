@@ -17,21 +17,17 @@ This kernel never leaves VMEM between sampling and pooling:
     per-axis one-hot weight strips Wy/Wx [7, S] RELATIVE to the window
     origin are precomputed with plain jnp (S = 64 covers every RoI
     span the level router can produce — see `_plan`).
-  * Per RoI the kernel makes `ny` dynamic row-loads (S consecutive
-    flat rows = the x-window of one feature row), where ny <= S is the
-    RoI's true y-tap extent (most proposals span ~10-30 rows, not 64 —
-    staging loads are ~90% of kernel VMEM traffic, so the dynamic trip
-    count is the main lever); RoIs whose x-taps fit the first S/2
-    columns also skip the upper-half load. Each row is x-pooled with a
-    small MXU dot, then y-pooled per output column:
-        for i < ny:  sx[i] = Wx[7, S] @ row_i[S, C]     # [7(q), C]
-        for q < 7:   out[p*7+q] = (Wy[7, S] @ sx[:, q, :])[p]
+  * Per RoI the kernel stages G=8 window rows at a time side-by-side
+    in lanes ([32, G*C]) and x-pools them with ONE shared-weight MXU
+    dot per 32-column chunk, where the chunk count is the RoI's true
+    extent ceil(nx/32) as a fori_loop TRIP COUNT (v7, branchless); the
+    y-pool likewise runs ceil(ny/32) chunk trips per output column.
     Off-window / off-level taps carry zero weight, so garbage rows
-    (level wrap-around, padding, stale i >= ny) contribute nothing.
-  * Output rows are emitted directly in (p, q) order and in bf16, so
-    the consumer's [N, 7, 7, C] view needs no transpose or cast — the
-    f32 (q, p)-ordered variant cost ~4 ms/step of pure layout copies
-    at batch 8.
+    (level wrap-around, padding, stale rows) contribute nothing, and
+    the full-coverage window (`_v5_span`) means NO clipped RoI can
+    escape the kernel — the oversize-gather fallback is unreachable.
+  * Output rows are emitted in (q, p) flat order and in bf16; the
+    consumer keys off QP_VARIANTS for the order.
   * The kernel grid is (batch, RoI-chunk): batching is native, via a
     `custom_vmap` rule, NOT jax's fallback vmap-as-loop (which unrolled
     into 8 sequential single-image calls inside a `while`).
@@ -43,6 +39,13 @@ sx scratch is bf16 to halve y-pool VMEM traffic — plus the final bf16
 round; tests compare at atol/rtol 0.05).
 Forward-only: the eval path needs no VJP (training keeps the one-hot
 matmul formulation, whose backward is transposed matmuls).
+
+Two variants ship: 'v7' (default: full-coverage branchless chunk
+trips) and 'v4' (64-wide window + exact oversize-gather fallback, the
+A/B comparator). The v1/v2/v3/v5/v6 iteration history lives in git
+history and perf/r3_05, r3_08, r4_04 — each was a measured step toward
+v7 (per-row staging -> grouped block-diag dots -> shared-weight wide-N
+-> full-coverage gating -> branchless trip counts).
 """
 
 from __future__ import annotations
@@ -86,10 +89,10 @@ FALLBACK = 16
 # major) rather than v1's (p, q). Consumers (cascade_roi_head, the
 # fallback merge below) key off this ONE set so a new variant can't
 # silently feed transposed 7x7 features downstream.
-QP_VARIANTS = ('v2', 'v3', 'v4', 'v5', 'v6', 'v7')
+QP_VARIANTS = ('v4', 'v7')
 # Variants whose window covers EVERY clipped RoI (`_v5_span`): the
 # oversize-gather fallback runs zero iterations by construction.
-FULLCOV_VARIANTS = ('v5', 'v6', 'v7')
+FULLCOV_VARIANTS = ('v7',)
 # Variants whose Wx/Wy strips are laid out chunk-major
 # ([N, nchunks*8, 32] instead of [N, out, span]) so the kernel can
 # slice one chunk's weight block with a dynamic sublane offset.
@@ -253,221 +256,7 @@ def _plan(rois: Array, strides: Sequence[int], sizes, out_size: int,
             wy, wx)
 
 
-def _kernel(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
-            out_ref, s_ref, sx_ref, *, c: int, out_size: int):
-    """Stage + pool one (batch, RoI-chunk) grid step.
 
-    The staging loop per RoI runs only over the `ny` window rows that
-    carry y-weight (`_axis_strip.n_rows`): the level router keeps most
-    proposals' feature-space spans far below SPAN (anchor-sized boxes
-    span ~10 rows), and staging loads are ~90% of the kernel's VMEM
-    traffic, so the dynamic trip count is the difference between
-    loading 64 rows/RoI and loading ~e.g. 12. Rows i >= ny are left
-    stale in sx_ref; their wy columns are exactly zero, so the y-pool
-    dot cancels them (sx_ref is zero-initialized once at grid step 0 so
-    stale values are always finite pooled features, never NaN bits).
-    """
-    b = pl.program_id(0)
-    chunk_i = pl.program_id(1)
-    os8 = 8                                  # q rows per RoI, 8-aligned
-
-    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
-    def _init():
-        s_ref[...] = jnp.zeros_like(s_ref)
-        sx_ref[...] = jnp.zeros_like(sx_ref)
-
-    # x-pool: per RoI, stage window row i and pool its SPAN columns
-    # with one [out, SPAN] @ [SPAN, C] dot. base and wl are multiples
-    # of 8 by construction (_plan); Mosaic needs the hint to allow the
-    # dynamic vector load.
-    half = SPAN // 2
-    for r in range(CHUNK):
-        roi = chunk_i * CHUNK + r
-        base = base_ref[b, roi]
-        wl = wl_ref[b, roi]
-        wide = wide_ref[b, roi]
-        wx_r = wx_ref[0, r]                              # [7, SPAN]
-
-        def body(i, carry, base=base, wl=wl, wide=wide, wx_r=wx_r, r=r):
-            start = pl.multiple_of(base + i * wl, 8)
-            # narrow RoIs (x-taps within the first half-window — the
-            # common case) skip the upper-half load; stale upper rows
-            # are cancelled by their exactly-zero wx columns
-            s_ref[0:half, :] = flat_ref[0, pl.ds(start, half), :]
-
-            @pl.when(wide > 0)
-            def _upper():
-                s_ref[half:SPAN, :] = flat_ref[
-                    0, pl.ds(start + half, half), :]
-
-            sx = jax.lax.dot_general(
-                wx_r, s_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [7(q), C]
-            sx_ref[i, r * os8:r * os8 + out_size, :] = sx.astype(
-                sx_ref.dtype)
-            return carry
-
-        jax.lax.fori_loop(0, ny_ref[b, roi], body, 0)
-
-    # y-pool per RoI / output column; emit rows in (p, q) order
-    for r in range(CHUNK):
-        wy_r = wy_ref[0, r]                              # [7, SPAN]
-        for q in range(out_size):
-            col = sx_ref[:, r * os8 + q, :]              # [SPAN, C]
-            yp = jax.lax.dot_general(
-                wy_r, col,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [7(p), C]
-            yp = yp.astype(out_ref.dtype)
-            for p in range(out_size):
-                out_ref[0, r, p * out_size + q, :] = yp[p]
-
-
-def _kernel_v2(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
-               out_ref, sx_ref, *, c: int, out_size: int):
-    """v2: feed the x-pool dots straight from `flat_ref` slices.
-
-    v1 staged each window row into an `s_ref` scratch (a VMEM->VMEM
-    store + reload per row) so the upper half-window load could be
-    predicated. The same predication works on the dot itself: always
-    dot the lower [half, C] slice, and only for wide RoIs add the upper
-    slice's dot — narrow RoIs (the common case) then pay HALF the dot
-    K-rows and zero staging traffic. The y-pool emits one contiguous
-    [out_size, C] block per x-bin, i.e. rows in (q, p) order — one
-    store per q instead of `out_size` single-row stores; consumers get
-    the order via `flat_order='qp'`.
-    """
-    b = pl.program_id(0)
-    chunk_i = pl.program_id(1)
-    os8 = 8                                  # q rows per RoI, 8-aligned
-
-    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
-    def _init():
-        sx_ref[...] = jnp.zeros_like(sx_ref)
-
-    half = SPAN // 2
-    for r in range(CHUNK):
-        roi = chunk_i * CHUNK + r
-        base = base_ref[b, roi]
-        wl = wl_ref[b, roi]
-        wide = wide_ref[b, roi]
-        wx_r = wx_ref[0, r]                              # [7, SPAN]
-
-        def body(i, carry, base=base, wl=wl, wide=wide, wx_r=wx_r, r=r):
-            start = pl.multiple_of(base + i * wl, 8)
-            sx = jax.lax.dot_general(
-                wx_r[:, :half], flat_ref[0, pl.ds(start, half), :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [7(q), C]
-            sx_ref[i, r * os8:r * os8 + out_size, :] = sx.astype(
-                sx_ref.dtype)
-
-            @pl.when(wide > 0)
-            def _upper():
-                hi = jax.lax.dot_general(
-                    wx_r[:, half:],
-                    flat_ref[0, pl.ds(start + half, half), :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                cur = sx_ref[i, r * os8:r * os8 + out_size, :]
-                sx_ref[i, r * os8:r * os8 + out_size, :] = (
-                    cur.astype(jnp.float32) + hi).astype(sx_ref.dtype)
-
-            return carry
-
-        jax.lax.fori_loop(0, ny_ref[b, roi], body, 0)
-
-    # y-pool per RoI / x-bin; one contiguous [out_size, C] store per q
-    for r in range(CHUNK):
-        wy_r = wy_ref[0, r]                              # [7, SPAN]
-        for q in range(out_size):
-            col = sx_ref[:, r * os8 + q, :]              # [SPAN, C]
-            yp = jax.lax.dot_general(
-                wy_r, col,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [7(p), C]
-            out_ref[0, r, q * out_size:(q + 1) * out_size, :] = yp.astype(
-                out_ref.dtype)
-
-
-def _kernel_v3(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
-               out_ref, s4_ref, w4_ref, sx_ref, *, c: int, out_size: int):
-    """v3: group G window rows per MXU issue.
-
-    The v1 kernel is ISSUE-bound, not bandwidth-bound (~0.6% MXU
-    utilization, ~212 ns/row measured on realistic RoIs): each window
-    row costs a loop iteration, a [7, SPAN] x [SPAN, C] dot issue and a
-    row store. v3 amortizes the fixed costs G ways: G rows are staged
-    into one [G*SPAN, C] scratch and x-pooled by ONE
-    [G*8, G*SPAN] @ [G*SPAN, C] dot against a block-diagonal weight
-    (G copies of the RoI's Wx strip on the diagonal, zeros elsewhere —
-    zeros also cancel the stale upper half-windows of narrow RoIs and
-    the stale rows past `ny`, exactly as in v1). The y-pool emits one
-    contiguous [out_size, C] store per x-bin ((q, p) row order, 7
-    stores/RoI instead of v1's 49 single-row stores).
-    """
-    b = pl.program_id(0)
-    chunk_i = pl.program_id(1)
-    os8 = 8
-    g8 = V3_GROUP * 8
-
-    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
-    def _init():
-        s4_ref[...] = jnp.zeros_like(s4_ref)
-        w4_ref[...] = jnp.zeros_like(w4_ref)
-        sx_ref[...] = jnp.zeros_like(sx_ref)
-
-    half = SPAN // 2
-    for r in range(CHUNK):
-        roi = chunk_i * CHUNK + r
-        base = base_ref[b, roi]
-        wl = wl_ref[b, roi]
-        wide = wide_ref[b, roi]
-        wx_r = wx_ref[0, r]                              # [7, SPAN]
-        # block-diagonal weights: G copies of Wx on the diagonal
-        # (off-diagonal stays zero from _init; only the blocks change
-        # between RoIs)
-        for g in range(V3_GROUP):
-            w4_ref[g * 8:g * 8 + out_size,
-                   g * SPAN:(g + 1) * SPAN] = wx_r
-
-        def body(i, carry, base=base, wl=wl, wide=wide, r=r):
-            for g in range(V3_GROUP):
-                start = pl.multiple_of(base + (i * V3_GROUP + g) * wl, 8)
-                s4_ref[g * SPAN:g * SPAN + half, :] = flat_ref[
-                    0, pl.ds(start, half), :]
-
-                @pl.when(wide > 0)
-                def _upper(start=start, g=g):
-                    s4_ref[g * SPAN + half:(g + 1) * SPAN, :] = flat_ref[
-                        0, pl.ds(start + half, half), :]
-
-            res = jax.lax.dot_general(
-                w4_ref[...], s4_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [G*8, C]
-            res = res.astype(sx_ref.dtype)
-            for g in range(V3_GROUP):
-                sx_ref[i * V3_GROUP + g,
-                       r * os8:r * os8 + out_size, :] = (
-                    res[g * 8:g * 8 + out_size, :])
-            return carry
-
-        n_iter = (ny_ref[b, roi] + V3_GROUP - 1) // V3_GROUP
-        jax.lax.fori_loop(0, n_iter, body, 0)
-
-    # y-pool: one contiguous [out_size, C] store per x-bin -> (q, p)
-    for r in range(CHUNK):
-        wy_r = wy_ref[0, r]                              # [7, SPAN]
-        for q in range(out_size):
-            col = sx_ref[:, r * os8 + q, :]              # [SPAN, C]
-            yp = jax.lax.dot_general(
-                wy_r, col,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [7(p), C]
-            out_ref[0, r, q * out_size:(q + 1) * out_size, :] = yp.astype(
-                out_ref.dtype)
 
 
 def _kernel_v4(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
@@ -540,170 +329,6 @@ def _kernel_v4(base_ref, wl_ref, ny_ref, wide_ref, flat_ref, wy_ref, wx_ref,
                 out_ref.dtype)
 
 
-def _kernel_v5(base_ref, wl_ref, ny_ref, nx_ref, flat_ref, wy_ref, wx_ref,
-               out_ref, s4_ref, sx_ref, *, c: int, out_size: int,
-               span: int):
-    """v5: full-coverage window (span from `_v5_span`), chunk-gated
-    staging — the no-fallback kernel.
-
-    Same shared-weight wide-N x-pool as v4, but the window is wide
-    enough for ANY clipped RoI, and each group-row's staging load is
-    split into span/32 column chunks individually gated on the RoI's
-    true x-extent (`nx`): a typical proposal (nx <= 32) still loads
-    exactly one [32, C] chunk per window row — the same bytes the
-    64-wide kernels move — while a full-width stride-4 sliver
-    (nx = 160, ny = 1) loads all chunks of its single row. Stale
-    chunks/rows carry exactly-zero wx/wy columns, so they cancel in the
-    pooling dots (the scratch is zero-initialized once at grid step 0;
-    afterwards stale data is always finite feature values).
-    """
-    b = pl.program_id(0)
-    chunk_i = pl.program_id(1)
-    os8 = 8
-    nchunks = span // 32
-
-    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
-    def _init():
-        s4_ref[...] = jnp.zeros_like(s4_ref)
-        sx_ref[...] = jnp.zeros_like(sx_ref)
-
-    for r in range(CHUNK):
-        roi = chunk_i * CHUNK + r
-        base = base_ref[b, roi]
-        wl = wl_ref[b, roi]
-        nx = nx_ref[b, roi]
-        wx_r = wx_ref[0, r]                              # [7, span]
-
-        def body(i, carry, base=base, wl=wl, nx=nx, wx_r=wx_r, r=r):
-            for g in range(V3_GROUP):
-                start = pl.multiple_of(base + (i * V3_GROUP + g) * wl, 8)
-                s4_ref[0:32, g * c:g * c + c] = flat_ref[
-                    0, pl.ds(start, 32), :]
-                for k in range(1, nchunks):
-                    @pl.when(nx > k * 32)
-                    def _chunk(start=start, g=g, k=k):
-                        s4_ref[k * 32:(k + 1) * 32, g * c:g * c + c] = (
-                            flat_ref[0, pl.ds(start + k * 32, 32), :])
-
-            res = jax.lax.dot_general(
-                wx_r, s4_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [7(q), G*C]
-            res = res.astype(sx_ref.dtype)
-            for g in range(V3_GROUP):
-                sx_ref[i * V3_GROUP + g,
-                       r * os8:r * os8 + out_size, :] = (
-                    res[:, g * c:g * c + c])
-            return carry
-
-        n_iter = (ny_ref[b, roi] + V3_GROUP - 1) // V3_GROUP
-        jax.lax.fori_loop(0, n_iter, body, 0)
-
-    # y-pool: one contiguous [out_size, C] store per x-bin -> (q, p)
-    for r in range(CHUNK):
-        wy_r = wy_ref[0, r]                              # [7, span]
-        for q in range(out_size):
-            col = sx_ref[:, r * os8 + q, :]              # [span, C]
-            yp = jax.lax.dot_general(
-                wy_r, col,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [7(p), C]
-            out_ref[0, r, q * out_size:(q + 1) * out_size, :] = yp.astype(
-                out_ref.dtype)
-
-
-def _kernel_v6(base_ref, wl_ref, ny_ref, nx_ref, flat_ref, wy_ref, wx_ref,
-               out_ref, s32_ref, sx_ref, xacc_ref, yacc_ref, *, c: int,
-               out_size: int, span: int):
-    """v6: full-coverage window with extent-proportional compute.
-
-    v5 proved the full-coverage window kills the oversize fallback but
-    paid span/SPAN (3x at r640) in EVERY RoI's x-pool dot, y-pool dot,
-    and scratch traffic — 42 ms/call vs v4's 13.6 standalone. v6 keeps
-    v5's window but decomposes BOTH pooling dots into 32-column chunks
-    accumulated in f32 scratch and gated on the RoI's true extents:
-
-      x-pool row i:  sx[i] = sum_k  Wx[:, 32k:32k+32] @ stage(chunk k)
-                     (chunk k staged+dotted only when nx > 32k)
-      y-pool bin q:  out[q] = sum_k  Wy[:, 32k:32k+32] @ sx[32k:32k+32]
-                     (dotted only when ny > 32k)
-
-    A typical proposal (nx, ny <= 32) runs exactly one chunk per pool —
-    the same loads and FLOPs as the 64-wide v4 kernel's narrow path —
-    while a full-width stride-4 sliver (nx = 160, ny = 1) stages all
-    chunks of its single row group. Skipped chunks skip their LOADS and
-    their DOTS (v5 only skipped loads); stale scratch is never read
-    with nonzero weight (wx/wy columns beyond nx/ny are exactly zero,
-    and gated-off chunks contribute nothing to the accumulator).
-    """
-    b = pl.program_id(0)
-    chunk_i = pl.program_id(1)
-    os8 = 8
-    nchunks = span // 32
-
-    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
-    def _init():
-        s32_ref[...] = jnp.zeros_like(s32_ref)
-        sx_ref[...] = jnp.zeros_like(sx_ref)
-
-    for r in range(CHUNK):
-        roi = chunk_i * CHUNK + r
-        base = base_ref[b, roi]
-        wl = wl_ref[b, roi]
-        nx = nx_ref[b, roi]
-        wx_r = wx_ref[0, r]                              # [7, span]
-
-        def body(i, carry, base=base, wl=wl, nx=nx, wx_r=wx_r, r=r):
-            # chunk 0 unconditional: every RoI has nx >= 1
-            for g in range(V3_GROUP):
-                start = pl.multiple_of(base + (i * V3_GROUP + g) * wl, 8)
-                s32_ref[:, g * c:g * c + c] = flat_ref[
-                    0, pl.ds(start, 32), :]
-            xacc_ref[0:out_size, :] = jax.lax.dot_general(
-                wx_r[:, 0:32], s32_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [7(q), G*C]
-            for k in range(1, nchunks):
-                @pl.when(nx > k * 32)
-                def _chunk(k=k, base=base, wl=wl, i=i, wx_r=wx_r):
-                    for g in range(V3_GROUP):
-                        start = pl.multiple_of(
-                            base + (i * V3_GROUP + g) * wl + k * 32, 8)
-                        s32_ref[:, g * c:g * c + c] = flat_ref[
-                            0, pl.ds(start, 32), :]
-                    xacc_ref[0:out_size, :] += jax.lax.dot_general(
-                        wx_r[:, k * 32:(k + 1) * 32], s32_ref[...],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            res = xacc_ref[0:out_size, :].astype(sx_ref.dtype)
-            for g in range(V3_GROUP):
-                sx_ref[i * V3_GROUP + g,
-                       r * os8:r * os8 + out_size, :] = (
-                    res[:, g * c:g * c + c])
-            return carry
-
-        n_iter = (ny_ref[b, roi] + V3_GROUP - 1) // V3_GROUP
-        jax.lax.fori_loop(0, n_iter, body, 0)
-
-    # y-pool: chunked + ny-gated; one contiguous store per x-bin (q, p)
-    for r in range(CHUNK):
-        wy_r = wy_ref[0, r]                              # [7, span]
-        ny = ny_ref[b, chunk_i * CHUNK + r]
-        for q in range(out_size):
-            yacc_ref[0:out_size, :] = jax.lax.dot_general(
-                wy_r[:, 0:32], sx_ref[0:32, r * os8 + q, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [7(p), C]
-            for k in range(1, nchunks):
-                @pl.when(ny > k * 32)
-                def _ychunk(k=k, r=r, q=q, wy_r=wy_r):
-                    yacc_ref[0:out_size, :] += jax.lax.dot_general(
-                        wy_r[:, k * 32:(k + 1) * 32],
-                        sx_ref[k * 32:(k + 1) * 32, r * os8 + q, :],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            out_ref[0, r, q * out_size:(q + 1) * out_size, :] = (
-                yacc_ref[0:out_size, :].astype(out_ref.dtype))
 
 
 def _kernel_v7(base_ref, wl_ref, ny_ref, nx_ref, flat_ref, wy_ref, wx_ref,
@@ -808,7 +433,7 @@ def _kernel_v7(base_ref, wl_ref, ny_ref, nx_ref, flat_ref, wy_ref, wx_ref,
 
 
 def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret,
-          variant: str = 'v1', span: int = SPAN):
+          variant: str = 'v7', span: int = SPAN):
     grid = (bsz, n // CHUNK)
     if variant == 'v7':
         assert span % 32 == 0 and span % V3_GROUP == 0, (span, V3_GROUP)
@@ -840,78 +465,6 @@ def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret,
                     pltpu.VMEM((span, CHUNK * 8, c), jnp.bfloat16),
                     pltpu.VMEM((8, V3_GROUP * c), jnp.float32),
                     pltpu.VMEM((8, c), jnp.float32),
-                ],
-            ),
-            out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
-                                           jnp.bfloat16),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(base, wl, ny, wide, flat, wy, wx)
-    if variant == 'v6':
-        assert span % 32 == 0 and span % V3_GROUP == 0, (span, V3_GROUP)
-        # `wide` carries the raw nx extents (see _pool_batched)
-        return pl.pallas_call(
-            functools.partial(_kernel_v6, c=c, out_size=out_size,
-                              span=span),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
-                grid=grid,
-                in_specs=[
-                    pl.BlockSpec((1, flat.shape[1], c),
-                                 lambda b, i, *_: (b, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, CHUNK, out_size, span),
-                                 lambda b, i, *_: (b, i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, CHUNK, out_size, span),
-                                 lambda b, i, *_: (b, i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, CHUNK, out_size * out_size, c),
-                    lambda b, i, *_: (b, i, 0, 0),
-                    memory_space=pltpu.VMEM),
-                scratch_shapes=[
-                    pltpu.VMEM((32, V3_GROUP * c), jnp.bfloat16),
-                    pltpu.VMEM((span, CHUNK * 8, c), jnp.bfloat16),
-                    pltpu.VMEM((8, V3_GROUP * c), jnp.float32),
-                    pltpu.VMEM((8, c), jnp.float32),
-                ],
-            ),
-            out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
-                                           jnp.bfloat16),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(base, wl, ny, wide, flat, wy, wx)
-    if variant == 'v5':
-        assert span % 32 == 0 and span % V3_GROUP == 0, (span, V3_GROUP)
-        # `wide` carries the raw nx extents for v5 (see _pool_batched)
-        return pl.pallas_call(
-            functools.partial(_kernel_v5, c=c, out_size=out_size,
-                              span=span),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
-                grid=grid,
-                in_specs=[
-                    pl.BlockSpec((1, flat.shape[1], c),
-                                 lambda b, i, *_: (b, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, CHUNK, out_size, span),
-                                 lambda b, i, *_: (b, i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, CHUNK, out_size, span),
-                                 lambda b, i, *_: (b, i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, CHUNK, out_size * out_size, c),
-                    lambda b, i, *_: (b, i, 0, 0),
-                    memory_space=pltpu.VMEM),
-                scratch_shapes=[
-                    pltpu.VMEM((span, V3_GROUP * c), jnp.bfloat16),
-                    pltpu.VMEM((span, CHUNK * 8, c), jnp.bfloat16),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
@@ -953,115 +506,17 @@ def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(base, wl, ny, wide, flat, wy, wx)
-    if variant == 'v3':
-        assert SPAN % V3_GROUP == 0, (V3_GROUP, SPAN)
-        return pl.pallas_call(
-            functools.partial(_kernel_v3, c=c, out_size=out_size),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
-                grid=grid,
-                in_specs=[
-                    pl.BlockSpec((1, flat.shape[1], c),
-                                 lambda b, i, *_: (b, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, CHUNK, out_size, SPAN),
-                                 lambda b, i, *_: (b, i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, CHUNK, out_size, SPAN),
-                                 lambda b, i, *_: (b, i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, CHUNK, out_size * out_size, c),
-                    lambda b, i, *_: (b, i, 0, 0),
-                    memory_space=pltpu.VMEM),
-                scratch_shapes=[
-                    pltpu.VMEM((V3_GROUP * SPAN, c), jnp.bfloat16),
-                    pltpu.VMEM((V3_GROUP * 8, V3_GROUP * SPAN),
-                               jnp.bfloat16),
-                    pltpu.VMEM((SPAN, CHUNK * 8, c), jnp.bfloat16),
-                ],
-            ),
-            out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
-                                           jnp.bfloat16),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(base, wl, ny, wide, flat, wy, wx)
-    if variant == 'v2':
-        return pl.pallas_call(
-            functools.partial(_kernel_v2, c=c, out_size=out_size),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
-                grid=grid,
-                in_specs=[
-                    pl.BlockSpec((1, flat.shape[1], c),
-                                 lambda b, i, *_: (b, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, CHUNK, out_size, SPAN),
-                                 lambda b, i, *_: (b, i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, CHUNK, out_size, SPAN),
-                                 lambda b, i, *_: (b, i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, CHUNK, out_size * out_size, c),
-                    lambda b, i, *_: (b, i, 0, 0),
-                    memory_space=pltpu.VMEM),
-                scratch_shapes=[
-                    pltpu.VMEM((SPAN, CHUNK * 8, c), jnp.bfloat16),
-                ],
-            ),
-            out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
-                                           jnp.bfloat16),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(base, wl, ny, wide, flat, wy, wx)
-    return pl.pallas_call(
-        functools.partial(_kernel, c=c, out_size=out_size),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,                   # base, wl, ny, wide
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, flat.shape[1], c),
-                             lambda b, i, *_: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CHUNK, out_size, SPAN),
-                             lambda b, i, *_: (b, i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CHUNK, out_size, SPAN),
-                             lambda b, i, *_: (b, i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, CHUNK, out_size * out_size, c),
-                lambda b, i, *_: (b, i, 0, 0),
-                memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((SPAN, c), jnp.bfloat16),
-                pltpu.VMEM((SPAN, CHUNK * 8, c), jnp.bfloat16),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
-                                       jnp.bfloat16),
-        # the resident flat pyramid (~11 MB bf16 at r640) is double-
-        # buffered across batch transitions, which busts the default
-        # 16 MB scoped-vmem budget; v5e has 128 MB of VMEM
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(base, wl, ny, wide, flat, wy, wx)
+    raise ValueError(f'unknown RoIAlign kernel variant: {variant!r}')
+
+
 
 
 def _pool_batched(feats, rois, strides, out_size, sample_num,
-                  finest_scale, interpret, flat_out=False, variant='v1'):
+                  finest_scale, interpret, flat_out=False, variant='v7'):
     """Batched implementation: feats [B, H_l, W_l, C] per level,
     rois [B, N, 4] -> [B, N, out, out, C] bf16 (or [B, N, out*out, C]
-    when `flat_out` — the kernel's native row order: (p, q) for v1,
-    (q, p) for v2, sparing the consumer the [out, out] re-tiling
-    relayout)."""
+    when `flat_out` — the kernel's native (q, p) row order, sparing the
+    consumer the [out, out] re-tiling relayout)."""
     c = feats[0].shape[-1]
     assert out_size <= 8, (
         f'kernel scratch packs one RoI per 8 sublanes (os8=8); '
@@ -1109,7 +564,7 @@ def _pool_batched(feats, rois, strides, out_size, sample_num,
 
     out = _call(base, wl, ny, nx if variant in FULLCOV_VARIANTS else wide,
                 flat, wy, wx, bsz, n, c, out_size, interpret, variant, span)
-    # v1 emits rows in (p, q) order, v2 in (q, p)
+    # v4/v7 emit flat rows in (q, p) order; unflatten to (p, q)
     if not flat_out:
         out = out.reshape(bsz, n, out_size, out_size, c)
         if variant in QP_VARIANTS:
@@ -1227,7 +682,7 @@ def multilevel_roi_align_pallas(feats, rois: Array,
                                 finest_scale: int = 56,
                                 interpret: bool = False,
                                 flat_out: bool = False,
-                                variant: str = 'v1') -> Array:
+                                variant: str = 'v7') -> Array:
     """Fused RoIAlign over an FPN pyramid (single image; `vmap` maps
     onto a native (batch, chunk) kernel grid).
 

@@ -77,83 +77,10 @@ def window_reverse_cf(windows: Array, b: int, h: int, w: int,
     return x[:, :, pt:pt + h, pl:pl + w]
 
 
-def slab_partition(x: Array, wh: int, ww: int):
-    """[B, H, W, C] -> ([B * nSlabs, Wh * Wp, C], Wp) — transpose-free.
-
-    A "slab" is one full window-row: Wh padded rows of the whole (padded)
-    width, flattened to T = Wh * Wp tokens in natural (row, col) order.
-    Window membership inside a slab is then pure masking (see
-    `expand_window_bias`), so the 6-D partition/reverse transposes of
-    `window_partition` (measured ~11 ms/step on branch 0,
-    perf/r4_03_trace_honest.log) become plain reshapes. Same center-pad
-    semantics as `window_partition` (ref `hrformer.py:200-236`)."""
-    b, h, w, c = x.shape
-    pt, pb, pl, pr = center_pad_shape(h, w, wh, ww)
-    x = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
-    hp, wp = h + pt + pb, w + pl + pr
-    return x.reshape(b * (hp // wh), wh * wp, c), wp
 
 
-def slab_reverse(tokens: Array, b: int, h: int, w: int,
-                 wh: int, ww: int) -> Array:
-    """Inverse of `slab_partition`, returning [B, H, W, C]."""
-    pt, pb, pl, pr = center_pad_shape(h, w, wh, ww)
-    hp, wp = h + pt + pb, w + pl + pr
-    c = tokens.shape[-1]
-    x = tokens.reshape(b, hp, wp, c)
-    return x[:, pt:pt + h, pl:pl + w, :]
 
 
-def slab_partition_cf(x: Array, wh: int, ww: int):
-    """[B, C, H, W] -> ([B * nSlabs, C, Wh * Wp], Wp).
-
-    Channels-first twin of `slab_partition`; one 4-D transpose moving C
-    past the slab axis (vs two 6-D transposes for the windowed path)."""
-    b, c, h, w = x.shape
-    pt, pb, pl, pr = center_pad_shape(h, w, wh, ww)
-    x = jnp.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
-    hp, wp = h + pt + pb, w + pl + pr
-    x = x.reshape(b, c, hp // wh, wh * wp).transpose(0, 2, 1, 3)
-    return x.reshape(b * (hp // wh), c, wh * wp), wp
-
-
-def slab_reverse_cf(tokens: Array, b: int, h: int, w: int,
-                    wh: int, ww: int) -> Array:
-    """Inverse of `slab_partition_cf`, returning [B, C, H, W]."""
-    pt, pb, pl, pr = center_pad_shape(h, w, wh, ww)
-    hp, wp = h + pt + pb, w + pl + pr
-    c = tokens.shape[1]
-    x = tokens.reshape(b, hp // wh, c, wh * wp).transpose(0, 2, 1, 3)
-    x = x.reshape(b, c, hp, wp)
-    return x[:, :, pt:pt + h, pl:pl + w]
-
-
-def slab_token_maps(wh: int, ww: int, wp: int):
-    """Static (numpy) helpers for slab masking: per-token window id and
-    within-window token id for a [Wh, Wp] slab in (row, col) order."""
-    import numpy as np
-    t = wh * wp
-    idx = np.arange(t)
-    r, col = idx // wp, idx % wp
-    win = col // ww
-    tok = r * ww + (col % ww)
-    return win, tok
-
-
-def expand_window_bias(bias, wh: int, ww: int, wp: int) -> Array:
-    """[nH, Wh*Ww, Wh*Ww] window bias -> [nH, T, T] slab bias.
-
-    Each window's bias block lands on the block diagonal (by token
-    mapping — windows are interleaved along the slab, not contiguous);
-    cross-window pairs get -1e9 so softmax zeroes them. With bias=None
-    returns the pure mask [1, T, T] (broadcasts over heads)."""
-    import numpy as np
-    win, tok = slab_token_maps(wh, ww, wp)
-    same = jnp.asarray(win[:, None] == win[None, :])
-    if bias is None:
-        return jnp.where(same, 0.0, -1e9)[None].astype(jnp.float32)
-    gathered = bias[:, tok[:, None], tok[None, :]]
-    return jnp.where(same[None], gathered.astype(jnp.float32), -1e9)
 
 
 def window_pad_mask(h: int, w: int, wh: int, ww: int) -> Array:

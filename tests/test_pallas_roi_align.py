@@ -23,7 +23,7 @@ def _feats(rng, h0=96, w0=160, c=256, levels=4):
         for i in range(levels)]
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'])
+@pytest.mark.parametrize('variant', ['v4', 'v7'])
 def test_pallas_roi_align_matches_gather(variant):
     rng = np.random.default_rng(0)
     feats = _feats(rng, h0=64, w0=96, c=256)
@@ -47,7 +47,7 @@ def test_pallas_roi_align_matches_gather(variant):
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'])
+@pytest.mark.parametrize('variant', ['v4', 'v7'])
 def test_pallas_roi_align_larger_batch_of_rois(variant):
     rng = np.random.default_rng(1)
     feats = _feats(rng, h0=96, w0=160, c=256)
@@ -66,10 +66,10 @@ def test_pallas_roi_align_larger_batch_of_rois(variant):
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'])
+@pytest.mark.parametrize('variant', ['v4', 'v7'])
 def test_pallas_flat_out_matches_reshaped(variant):
-    """flat_out returns the kernel's native row order: (p, q) rows for
-    v1, (q, p) for v2 — consumers undo it via the documented order."""
+    """flat_out returns the kernel's native row order — (q, p) for
+    every QP_VARIANTS member — and consumers undo it via that set."""
     rng = np.random.default_rng(2)
     feats = _feats(rng, h0=64, w0=96, c=256)
     wh = rng.uniform(4, 300, (16, 2))
@@ -91,8 +91,8 @@ def test_pallas_flat_out_matches_reshaped(variant):
 @pytest.mark.parametrize('order', ['hw', 'wh'])
 def test_bbox_head_rank3_matches_rank4(order):
     """Flat [N, 49, C] input matches the [N, 7, 7, C] path in both row
-    orders: 'hw' (Pallas v1) and 'wh' (v2/v3 — rows transposed, kernel
-    permutation compensates)."""
+    orders: 'hw' (gather-oracle order) and 'wh' (Pallas QP_VARIANTS —
+    rows transposed, kernel permutation compensates)."""
     import jax as _jax
     from hrfuser_tpu.models.roi_heads.bbox_head import Shared2FCBBoxHead
     rng = np.random.default_rng(3)
@@ -109,7 +109,7 @@ def test_bbox_head_rank3_matches_rank4(order):
                                atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'])
+@pytest.mark.parametrize('variant', ['v4', 'v7'])
 def test_pallas_right_edge_on_non_multiple_of_8_level(variant):
     """STF-like stride-8 level width 156 (>SPAN, not %8): the x-origin
     clamp must bound against the PADDED width, or right-edge RoIs lose
@@ -130,7 +130,7 @@ def test_pallas_right_edge_on_non_multiple_of_8_level(variant):
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize('variant', ['v1', 'v3', 'v4', 'v5', 'v6', 'v7'])
+@pytest.mark.parametrize('variant', ['v4', 'v7'])
 def test_pallas_many_oversize_rois_multi_iteration_fallback(variant):
     """More oversize RoIs per image than FALLBACK: the fallback
     while_loop must run multiple iterations and still be exact."""
@@ -153,9 +153,9 @@ def test_pallas_many_oversize_rois_multi_iteration_fallback(variant):
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize('variant', ['v5', 'v6', 'v7'])
+@pytest.mark.parametrize('variant', ['v7'])
 def test_v5_full_axis_slivers_in_kernel_no_fallback(variant):
-    """v5/v6's window covers every clipped RoI (max extent = the stride-4
+    """v7's full-coverage window covers every clipped RoI (max extent = the stride-4
     level's own width/height), so extreme-aspect RPN slivers — 31.7% of
     stage-0 proposals on the honest bench inputs, previously 24 gather-
     fallback while iterations (perf/r4_02_roi_spans.log) — pool exactly

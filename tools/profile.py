@@ -44,7 +44,6 @@ def main():
                     help='bf16 params/compute (the bench configuration)')
     ap.add_argument('--roi-variant', choices=['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'],
                     default=None)
-    ap.add_argument('--fused', choices=['auto', 'off', 'on'], default=None)
     ap.add_argument('--zeros', action='store_true',
                     help='all-zero inference inputs (pre-r4 methodology; '
                          'flatters data-dependent paths — see bench.py)')
@@ -74,10 +73,6 @@ def main():
         model_cfg = dataclasses.replace(
             model_cfg, roi=dataclasses.replace(
                 model_cfg.roi, pallas_variant=args.roi_variant))
-    if args.fused:
-        model_cfg = dataclasses.replace(
-            model_cfg, backbone=dataclasses.replace(
-                model_cfg.backbone, fused_block=args.fused))
     cfg = dataclasses.replace(cfg, model=model_cfg)
 
     det = CascadeRCNN(cfg.model,
