@@ -66,6 +66,8 @@ def main():
                     help='override RoIAlign formulation (default: config)')
     ap.add_argument('--cf', choices=['auto', 'off', 'on'], default=None,
                     help='override backbone cf_layout (default: config)')
+    ap.add_argument('--chain', choices=['auto', 'off', 'on'], default=None,
+                    help='override backbone chain_kernel (default: config)')
     ap.add_argument('--roi-variant', choices=['v4', 'v7'], default=None,
                     help='override the Pallas RoIAlign kernel variant '
                          '(default: config)')
@@ -99,6 +101,10 @@ def main():
         model_cfg = dataclasses.replace(
             model_cfg, backbone=dataclasses.replace(model_cfg.backbone,
                                                     cf_layout=args.cf))
+    if args.chain:
+        model_cfg = dataclasses.replace(
+            model_cfg, backbone=dataclasses.replace(
+                model_cfg.backbone, chain_kernel=args.chain))
     if args.roi_variant:
         model_cfg = dataclasses.replace(
             model_cfg, roi=dataclasses.replace(

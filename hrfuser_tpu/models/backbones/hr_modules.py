@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from hrfuser_tpu.layers.attention import HRFormerBlock, resolve_layout
+from hrfuser_tpu.ops.pallas_chain import resolve_chain
 from hrfuser_tpu.layers.common import (ConvNorm, ResLayer, bilinear_resize,
                                        nearest_up)
 from hrfuser_tpu.models.backbones.hr_config import StageCfg
@@ -146,6 +147,7 @@ class HRModule(nn.Module):
     multiscale_output: bool = True
     module_index: int = 0                    # for the drop-path schedule
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
+    chain_kernel: str = 'off'                # 'off' | 'auto' | 'on'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -154,12 +156,26 @@ class HRModule(nn.Module):
         nb = s.num_branches
         assert len(xs) == nb, f'expected {nb} inputs, got {len(xs)}'
         is_former = s.block == 'HRFORMER'
+        chain = (is_former and not self.is_initializing()
+                 and resolve_chain(self.chain_kernel, train))
 
         # branches
         feats = []
         for i in range(nb):
             x = xs[i]
-            if is_former:
+            if is_former and chain:
+                from hrfuser_tpu.ops.pallas_chain import hrformer_chain
+                nblk = s.num_blocks[i]
+                v = self.variables
+                blocks = [{'params': v['params'][f'branch{i}_block{j}'],
+                           'batch_stats':
+                               v['batch_stats'][f'branch{i}_block{j}']}
+                          for j in range(nblk)]
+                y = hrformer_chain(x.transpose(0, 3, 1, 2), blocks,
+                                   num_heads=s.num_heads[i],
+                                   window=s.window_sizes[i])
+                x = y.transpose(0, 2, 3, 1)
+            elif is_former:
                 nblk = s.num_blocks[i]
                 base = self.module_index * s.num_blocks[0]
                 b, h, w, c = x.shape
@@ -218,6 +234,7 @@ class HRStage(nn.Module):
     multiscale_output: bool = True
     remat: bool = False
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
+    chain_kernel: str = 'off'                # 'off' | 'auto' | 'on'
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -231,7 +248,8 @@ class HRStage(nn.Module):
         for m in range(s.num_modules):
             ms_out = self.multiscale_output or m < s.num_modules - 1
             xs = mod_cls(s, chans, ms_out, module_index=m,
-                         cf_layout=self.cf_layout, dtype=self.dtype,
+                         cf_layout=self.cf_layout,
+                         chain_kernel=self.chain_kernel, dtype=self.dtype,
                          name=f'module{m}')(xs, train)
             chans = s.out_channels
         return xs

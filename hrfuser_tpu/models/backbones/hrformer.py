@@ -53,6 +53,7 @@ class HRFormerBackbone(nn.Module):
                         dtype=self.dtype, name='transition1')([x], train)
         xs = HRStage(cfg.stage2, cfg.stage2.out_channels, remat=cfg.remat,
                      cf_layout=cfg.cf_layout,
+                     chain_kernel=cfg.chain_kernel,
                      dtype=self.dtype,
                      name='stage2')(xs, train)
 
@@ -60,6 +61,7 @@ class HRFormerBackbone(nn.Module):
                         dtype=self.dtype, name='transition2')(xs, train)
         xs = HRStage(cfg.stage3, cfg.stage3.out_channels, remat=cfg.remat,
                      cf_layout=cfg.cf_layout,
+                     chain_kernel=cfg.chain_kernel,
                      dtype=self.dtype,
                      name='stage3')(xs, train)
 
@@ -67,6 +69,7 @@ class HRFormerBackbone(nn.Module):
                         dtype=self.dtype, name='transition3')(xs, train)
         xs = HRStage(cfg.stage4, cfg.stage4.out_channels, remat=cfg.remat,
                      cf_layout=cfg.cf_layout,
+                     chain_kernel=cfg.chain_kernel,
                      dtype=self.dtype,
                      name='stage4')(xs, train)
         return xs

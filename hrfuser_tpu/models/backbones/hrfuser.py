@@ -74,19 +74,50 @@ class FusionBank(nn.Module):
 
 
 class ModalityStage(nn.Module):
-    """Single-branch stage run independently per modality (`_make_mod_stage`)."""
+    """Single-branch stage run independently per modality (`_make_mod_stage`).
+
+    Chain-kernel fast path (eval, TPU): a single-branch HRFORMER stage
+    is a pure block chain (no fuse layers), so ALL its modules' blocks
+    across ALL modalities run as ONE `hrformer_chain` call — modalities
+    stacked on the kernel grid's stream axis with per-(stream, block)
+    weights, the residual VMEM-resident across the whole stage.
+    """
     stage: StageCfg
     num_modalities: int
     remat: bool = False
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
+    chain_kernel: str = 'off'                # 'off' | 'auto' | 'on'
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, feats: List[Array], train: bool) -> List[Array]:
+        from hrfuser_tpu.ops.pallas_chain import resolve_chain
+        s = self.stage
+        if (s.block == 'HRFORMER' and not self.is_initializing()
+                and resolve_chain(self.chain_kernel, train)):
+            from hrfuser_tpu.ops.pallas_chain import hrformer_chain
+            v = self.variables
+            blocks = []
+            for k in range(self.num_modalities):
+                for m in range(s.num_modules):
+                    for j in range(s.num_blocks[0]):
+                        sub = v['params'][f'mod{k}'][f'module{m}']
+                        bsub = v['batch_stats'][f'mod{k}'][f'module{m}']
+                        blocks.append(
+                            {'params': sub[f'branch0_block{j}'],
+                             'batch_stats': bsub[f'branch0_block{j}']})
+            x = jnp.concatenate(feats, 0).transpose(0, 3, 1, 2)
+            y = hrformer_chain(x, blocks, num_heads=s.num_heads[0],
+                               window=s.window_sizes[0],
+                               n_streams=self.num_modalities)
+            y = y.transpose(0, 2, 3, 1)
+            b = feats[0].shape[0]
+            return [y[k * b:(k + 1) * b] for k in range(self.num_modalities)]
         out = []
         for k in range(self.num_modalities):
             y = HRStage(self.stage, self.stage.out_channels,
                         remat=self.remat, cf_layout=self.cf_layout,
+                        chain_kernel=self.chain_kernel,
                         dtype=self.dtype, name=f'mod{k}')([feats[k]], train)
             out.append(y[0])
         return out
@@ -152,10 +183,12 @@ class HRFuserBackbone(nn.Module):
                         cf_layout=cfg.cf_layout, dtype=self.dtype,
                         name='fusion_a')(xs, m_br, train)
         ys = HRStage(cfg.stage2, cfg.stage2.out_channels, remat=cfg.remat,
-                     cf_layout=cfg.cf_layout, dtype=self.dtype,
+                     cf_layout=cfg.cf_layout,
+                     chain_kernel=cfg.chain_kernel, dtype=self.dtype,
                      name='stage2')(xs, train)
         mods = ModalityStage(cfg.stage_b, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout,
+                        chain_kernel=cfg.chain_kernel, dtype=self.dtype,
                              name='stage_b')(m_br[0], train)
 
         # ---- stage 3 (+ fusion B, modality stage C) ----
@@ -169,10 +202,12 @@ class HRFuserBackbone(nn.Module):
                         cf_layout=cfg.cf_layout, dtype=self.dtype,
                         name='fusion_b')(xs, m_br, train)
         ys = HRStage(cfg.stage3, cfg.stage3.out_channels, remat=cfg.remat,
-                     cf_layout=cfg.cf_layout, dtype=self.dtype,
+                     cf_layout=cfg.cf_layout,
+                     chain_kernel=cfg.chain_kernel, dtype=self.dtype,
                      name='stage3')(xs, train)
         mods = ModalityStage(cfg.stage_c, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout,
+                        chain_kernel=cfg.chain_kernel, dtype=self.dtype,
                              name='stage_c')(m_br[0], train)
 
         # ---- stage 4 (+ fusion C) ----
@@ -186,7 +221,8 @@ class HRFuserBackbone(nn.Module):
                         cf_layout=cfg.cf_layout, dtype=self.dtype,
                         name='fusion_c')(xs, m_br, train)
         ys = HRStage(cfg.stage4, cfg.stage4.out_channels, remat=cfg.remat,
-                     cf_layout=cfg.cf_layout, dtype=self.dtype,
+                     cf_layout=cfg.cf_layout,
+                     chain_kernel=cfg.chain_kernel, dtype=self.dtype,
                      name='stage4')(xs, train)
 
         # ---- optional modality stage D + pre-neck fusion ----

@@ -1,0 +1,519 @@
+"""Pallas TPU chain kernel: N HRFormer blocks in one dense-packed pass.
+
+WHY (perf/r4_08 floor analysis): branch-0 of the r640 step moves 27.8 GB
+of VMEM-resident intermediates at an effective 458 GB/s — 60.75 ms that
+is ~3.5x PADDING on thin-channel tensors (C=18 windows [2576, 18, 49]
+tile to (32, 128); CF maps pad 1.8x). XLA cannot escape this: any
+[.., 49]-minor window layout wastes 2.6x in lanes, any [.., 18]-minor
+layout 7x. The r4 per-block fused kernels (`ops/pallas_block.py`) kept
+the same thin internal layout and only tied XLA (-9% end-to-end,
+perf/r4_05).
+
+This kernel changes the DECOMPOSITION, not the tuning:
+
+  * One kernel call runs a WHOLE chain of L blocks (a module's block
+    pair, or a 2-6 block single-branch modality stage) with the
+    residual stream resident in VMEM — zero HBM round-trips at block
+    seams (the r4 fused-block loss mechanism).
+  * Internal layout is column-major window-grouped channels-first
+    `[C, nWh * ng * Tg]`: tokens ordered (window-row, column, row)
+    so every 7x7 window is a CONTIGUOUS 49-lane run, groups of
+    `group_windows` windows pad to a 128-multiple Tg. Elementwise
+    chains, LayerNorms (sublane reductions) and the 1x1 projections
+    (single [C, C] @ [C, N] MXU dots over ALL tokens) run ~100%
+    lane-dense — the whole point.
+  * Window attention runs per group as ONE [Tg, Tg] masked-logits dot
+    behind a `fori_loop` with 128-aligned dynamic lane slices; the
+    block-diagonal (in-window) RPE bias + cross-window/dead-lane -1e9
+    mask is a single precomputed [Tg, Tg] constant per (block, head).
+    Waste is bounded by `group_windows` (default 8: ~8x logits FLOPs
+    on an MXU that is idle here anyway) instead of the full-slab
+    T^2 = 1127^2 that made slab attention a 4.8x loser (perf/r4_07).
+  * The CrossFFN depthwise 3x3 is 25 masked lane-roll FMAs (each
+    spatial neighbour offset is a fixed lane delta in this layout,
+    with 2 crossing variants per axis); torch zero-padding falls out
+    of masking the hidden ring to zero, as in `ops/pallas_block.py`.
+  * Entry/exit relayout (row-major CF slabs <-> the packed token
+    order) is a 0/1 permutation matmul per window-row slab on the MXU
+    — paid once per CHAIN, not per block (the 6-D partition/reverse
+    transposes the flax path pays ~11 ms/step for, perf/r4_03).
+  * Independent same-geometry streams (the per-modality stage_b/c
+    chains) stack on the grid's leading axis with per-(stream, block)
+    weights, halving kernel-call count.
+
+Eval-mode only (BNs folded with running stats, DropPath/Dropout
+identity); training keeps the flax path. Numerics: LN/softmax/dot
+accumulation in f32, residual stream bf16 (or f32 when the input is
+f32) — same staging as the flax bf16 path, parity-tested in
+`tests/test_pallas_chain.py`.
+
+Reference parity surface: `HRFormerBlock` (`mmdet/models/backbones/
+hrformer.py:298-386`), `CrossFFN` (`hrformer.py:239-295`),
+`LocalWindowSelfAttention` center-pad semantics (`hrformer.py:200-236`);
+fusion-block variant (`HRFuserFusionBlock`,
+`hrfuser_hrformer_based.py:305-317`) in `fusion_chain` below.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hrfuser_tpu.ops.pallas_block import _erf, _fold_bn
+from hrfuser_tpu.ops.window import center_pad_shape, relative_position_index
+
+Array = jnp.ndarray
+
+_LN_EPS = 1e-6
+_NEG = -1e9
+
+
+def _rup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def resolve_chain(mode: str, train: bool) -> bool:
+    """Map the `chain_kernel` knob ('off' | 'auto' | 'on') per call.
+
+    The kernel is eval-only (no custom VJP) and, under 'auto',
+    TPU-only (interpret mode is orders of magnitude too slow on CPU —
+    the same routing rule as the RoIAlign kernel)."""
+    if train or mode == 'off':
+        return False
+    if mode == 'on':
+        return True
+    return jax.default_backend() == 'tpu'
+
+
+class ChainGeometry:
+    """Static token-layout bookkeeping for one (H, W, ws, g) shape.
+
+    Token order: t = ((wr * ng + gi) * Tg) + kg * ws + r, where
+    wr = window row, gi = window-column group, kg = column within the
+    group's ws*g payload columns, r = row within the window. Windows
+    are contiguous 49-lane runs; lanes [g*ws*ws, Tg) of each group are
+    dead padding.
+    """
+
+    def __init__(self, h: int, w: int, ws: int = 7, group_windows: int = 8):
+        self.h, self.w, self.ws, self.g = h, w, ws, group_windows
+        pt, pb, plft, pr = center_pad_shape(h, w, ws, ws)
+        self.pt, self.pl = pt, plft
+        self.hp = h + pt + pb                      # padded rows
+        self.wp = w + plft + pr                    # padded cols (real ring)
+        self.nwh = self.hp // ws
+        self.nww = self.wp // ws
+        self.ng = _rup(self.nww, group_windows) // group_windows
+        self.tg = _rup(group_windows * ws * ws, 128)
+        self.cols_g = group_windows * ws           # payload cols per group
+        self.n = self.nwh * self.ng * self.tg      # resident lane count
+        self.ngroups = self.nwh * self.ng
+        # slab sizes for the entry/exit permutation (one window-row)
+        self.ts_in = ws * self.wp                  # row-major slab tokens
+        self.ts_out = self.ng * self.tg            # packed slab lanes
+
+    def token_coords(self) -> np.ndarray:
+        """[N, 2] padded-grid (row, col) per token; (-1, -1) for dead."""
+        out = np.full((self.n, 2), -1, np.int64)
+        ws, g = self.ws, self.g
+        for wr in range(self.nwh):
+            for gi in range(self.ng):
+                base = (wr * self.ng + gi) * self.tg
+                for kg in range(self.cols_g):
+                    col = gi * self.cols_g + kg
+                    if col >= self.wp:
+                        continue
+                    for r in range(ws):
+                        out[base + kg * ws + r] = (wr * ws + r, col)
+        return out
+
+    def valid_mask(self) -> np.ndarray:
+        """[1, N] 1.0 where the token is a REAL (unpadded) pixel."""
+        rc = self.token_coords()
+        ok = ((rc[:, 0] >= self.pt) & (rc[:, 0] < self.pt + self.h)
+              & (rc[:, 1] >= self.pl) & (rc[:, 1] < self.pl + self.w))
+        return ok.astype(np.float32)[None]
+
+    def entry_perm(self) -> np.ndarray:
+        """[ts_in, ts_out] 0/1: row-major CF slab -> packed token order.
+
+        Input slab token u = r * wp + col (the natural flattening of
+        [ws, wp]); output lane = packed index within the slab.
+        """
+        p = np.zeros((self.ts_in, self.ts_out), np.float32)
+        ws = self.ws
+        for gi in range(self.ng):
+            for kg in range(self.cols_g):
+                col = gi * self.cols_g + kg
+                if col >= self.wp:
+                    continue
+                for r in range(ws):
+                    p[r * self.wp + col, gi * self.tg + kg * ws + r] = 1.0
+        return p
+
+    def exit_perm(self) -> np.ndarray:
+        return self.entry_perm().T.copy()
+
+    def dw_variants(self):
+        """(deltas [V], masks [V, N]) for the 3x3 depthwise taps.
+
+        Each spatial tap (dy, dx) decomposes into up to 4 fixed lane
+        deltas (in/cross window-row x in/cross group), with disjoint
+        output masks; `tap_of` maps each variant to its 3x3 tap index
+        3*(dy+1) + (dx+1). out[t] += w[tap] * hidden[t + delta].
+        """
+        rc = self.token_coords()
+        pos = {tuple(p): i for i, p in enumerate(rc) if p[0] >= 0}
+        deltas: List[int] = []
+        taps: List[int] = []
+        masks: List[np.ndarray] = []
+        acc: Dict[tuple, int] = {}
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                by_delta: Dict[int, np.ndarray] = {}
+                for t in range(self.n):
+                    r0, c0 = rc[t]
+                    if r0 < 0:
+                        continue
+                    src = pos.get((r0 + dy, c0 + dx))
+                    if src is None:
+                        continue           # zero pad beyond the ring
+                    d = src - t
+                    m = by_delta.setdefault(d, np.zeros(self.n, np.float32))
+                    m[t] = 1.0
+                for d, m in sorted(by_delta.items()):
+                    key = (3 * (dy + 1) + (dx + 1), d)
+                    acc[key] = len(deltas)
+                    deltas.append(d)
+                    taps.append(key[0])
+                    masks.append(m)
+        return (np.asarray(deltas, np.int64), np.asarray(taps, np.int64),
+                np.stack(masks))
+
+
+@functools.lru_cache(maxsize=None)
+def _geometry(h, w, ws, g):
+    return ChainGeometry(h, w, ws, g)
+
+
+def build_group_bias(table: Array, num_heads: int, ws: int, g: int,
+                     tg: int, dtype=jnp.float32) -> Array:
+    """[nh, Tg, Tg] in-window RPE bias + cross-window/dead -1e9 mask.
+
+    Identical indexing to `RelativePositionBias` (`hrformer.py:59-82`);
+    group structure is the same for every group, so one constant per
+    (block, head) serves all of them.  Token order within the group is
+    (window, col, row) — position (cc, r) maps to in-window index
+    r * ws + cc of the Swin-style table.
+    """
+    n = ws * ws
+    idx = relative_position_index(ws, ws)                # numpy [n, n]
+    bias = table[idx.reshape(-1)].reshape(n, n, num_heads)
+    bias = bias.transpose(2, 0, 1)                       # [nh, n, n]
+    t = np.arange(tg)
+    win = t // n
+    cc = (t % n) // ws
+    r = t % ws
+    swin = r * ws + cc                                   # in-window index
+    alive = t < g * n
+    full = bias[:, swin, :][:, :, swin]                  # [nh, Tg, Tg]
+    same = (win[:, None] == win[None, :]) & alive[:, None] & alive[None, :]
+    return jnp.where(jnp.asarray(same)[None], full, _NEG).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _ln_cf(x_ref_val, g_ref, b_ref):
+    """LayerNorm over the sublane (channel) axis of [C, N] -> f32."""
+    xf = x_ref_val.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=0, keepdims=True)
+    ce = xf - mu
+    var = jnp.mean(ce * ce, axis=0, keepdims=True)
+    inv = jnp.where(var > 0.0, jax.lax.rsqrt(var + _LN_EPS), 0.0)
+    return ce * inv * g_ref[:] + b_ref[:]
+
+
+def _cdot(w, x, out_f32=True):
+    """[Cin, Cout] x [Cin, N] -> [Cout, N] (contract sublanes)."""
+    r = jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return r if out_f32 else r
+
+
+def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
+                  ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                  ln2_ref, w1_ref, b1_ref, wdw_ref, bdw_ref,
+                  w2_ref, b2_ref, bias_ref, out_ref,
+                  xres, qln, qb, kb, vb, attnb, hid, accf,
+                  *, num_blocks: int, num_heads: int, c: int, ch: int,
+                  geo_key, dw_deltas, dw_taps, interpret: bool,
+                  skip: str = ''):
+    geo = _geometry(*geo_key)
+    n = geo.n
+    tg = geo.tg
+    d = c // num_heads
+    scale = d ** -0.5
+    l = pl.program_id(1)
+    dt = out_ref.dtype
+
+    # ---- entry: permute row-major CF slabs into the packed layout ----
+    # input arrives as [1, nwh*C, ts_in]: slab wr = sublane rows
+    # [wr*C, (wr+1)*C), lanes always start at 0 (no misaligned lane
+    # slicing on the wide input)
+    @pl.when(l == 0)
+    def _entry():
+        for wr in range(geo.nwh):
+            slab = x_ref[0, wr * c:(wr + 1) * c, :]
+            xres[:, wr * geo.ts_out:(wr + 1) * geo.ts_out] = jnp.dot(
+                slab, pin_ref[:],
+                preferred_element_type=jnp.float32).astype(xres.dtype)
+
+    valid = valid_ref[:]                                   # [1, N] f32
+
+    # pltpu.roll wants a non-negative shift (rolls are circular, so
+    # shift by (sh mod N) — wrapped lanes are killed by the tap masks)
+    # and only rotates 32-bit data: cast the bf16 hidden to f32 first
+    # (the accumulation is f32 anyway).
+    roll = ((lambda a, sh: jnp.roll(a, sh, axis=1)) if interpret
+            else (lambda a, sh: pltpu.roll(a.astype(jnp.float32), sh % n, 1)))
+
+    # ---- LN1 + masked window attention + residual ----
+    h1 = _ln_cf(xres[:], ln1_ref[0, 0], ln1_ref[0, 1])
+    qln[:] = (h1 * valid).astype(dt)
+    qb[:] = (_cdot(wqkv_ref[0, :, 0:c], qln[:])
+             + bqkv_ref[0, 0:c, :]).astype(dt)
+    kb[:] = (_cdot(wqkv_ref[0, :, c:2 * c], qln[:])
+             + bqkv_ref[0, c:2 * c, :]).astype(dt)
+    vb[:] = (_cdot(wqkv_ref[0, :, 2 * c:3 * c], qln[:])
+             + bqkv_ref[0, 2 * c:3 * c, :]).astype(dt)
+
+    def group_body(i, carry):
+        sl = pl.ds(i * tg, tg)
+        for h in range(num_heads):
+            rows = slice(h * d, (h + 1) * d)
+            q = qb[rows, sl]
+            k = kb[rows, sl]
+            v = vb[rows, sl]
+            logits = jax.lax.dot_general(
+                (q.astype(jnp.float32) * scale).astype(dt), k,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [Tg, Tg]
+            logits = logits + bias_ref[0, h].astype(jnp.float32)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)
+            o = jax.lax.dot_general(
+                v, p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [d, Tg]
+            attnb[rows, sl] = o.astype(dt)
+        return carry
+
+    if 'attn' not in skip:               # lab attribution knob
+        jax.lax.fori_loop(0, geo.ngroups, group_body, 0)
+    proj = _cdot(wo_ref[0], attnb[:]) + bo_ref[0]
+    xres[:] = (xres[:].astype(jnp.float32) + proj * valid).astype(xres.dtype)
+
+    # ---- LN2 + CrossFFN (BNs folded) + residual ----
+    h2 = _ln_cf(xres[:], ln2_ref[0, 0], ln2_ref[0, 1])
+    hraw = _cdot(w1_ref[0], h2.astype(dt)) + b1_ref[0]
+    g1 = 0.5 * hraw * (1.0 + _erf(hraw * np.float32(1 / np.sqrt(2.0))))
+    hid[:] = (g1 * valid).astype(dt)                       # torch zero pad
+
+    # dw conv as ONE value-form expression (single store): Mosaic keeps
+    # the partial sums in registers per tile instead of 25 accumulator
+    # round-trips through VMEM (measured 0.61 -> see perf notes)
+    hval = hid[:]
+    acc = jnp.broadcast_to(bdw_ref[0], (ch, n))
+    dw_iter = [] if 'dw' in skip else range(len(dw_deltas))
+    for vi in dw_iter:
+        delta = int(dw_deltas[vi])
+        tap = int(dw_taps[vi])
+        sh = roll(hval, -delta).astype(jnp.float32)
+        acc = acc + (sh * wdw_ref[0, :, tap:tap + 1]
+                     * dwmask_ref[vi:vi + 1, :])
+    accf[:] = acc
+    g2 = 0.5 * accf[:] * (1.0 + _erf(accf[:] * np.float32(1 / np.sqrt(2.0))))
+    o2 = _cdot(w2_ref[0], g2.astype(dt)) + b2_ref[0]
+    g3 = 0.5 * o2 * (1.0 + _erf(o2 * np.float32(1 / np.sqrt(2.0))))
+    xres[:] = ((xres[:].astype(jnp.float32) + g3) * valid).astype(xres.dtype)
+
+    # ---- exit: permute back to row-major CF ----
+    @pl.when(l == num_blocks - 1)
+    def _exit():
+        for wr in range(geo.nwh):
+            packed = xres[:, wr * geo.ts_out:(wr + 1) * geo.ts_out]
+            out_ref[0, wr * c:(wr + 1) * c, :] = jnp.dot(
+                packed, pout_ref[:],
+                preferred_element_type=jnp.float32).astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# weight stacking from flax block variable dicts
+# ---------------------------------------------------------------------------
+
+def stack_chain_params(blocks: Sequence[Dict[str, Any]], num_heads: int,
+                       ws: int, g: int, tg: int, dtype) -> Dict[str, Array]:
+    """Stack per-block HRFormerBlock variables into [S*L, ...] arrays.
+
+    `blocks` is the flat (stream-major) list of per-block variable
+    dicts (`{'params': ..., 'batch_stats': ...}` of a bound
+    HRFormerBlock). BNs are folded with running stats (eval mode).
+    """
+    f32 = jnp.float32
+    out = {k: [] for k in ('ln1', 'wqkv', 'bqkv', 'wo', 'bo', 'ln2',
+                           'w1', 'b1', 'wdw', 'bdw', 'w2', 'b2', 'bias')}
+    for blk in blocks:
+        p = blk['params']
+        bs = blk['batch_stats']
+        a = p['attn']
+        out['ln1'].append(jnp.stack(
+            [p['norm1']['scale'], p['norm1']['bias']]).astype(f32)[..., None])
+        out['wqkv'].append(a['qkv']['kernel'].astype(dtype))
+        out['bqkv'].append(a['qkv']['bias'].astype(f32)[:, None])
+        out['wo'].append(a['out_proj']['kernel'].astype(dtype))
+        out['bo'].append(a['out_proj']['bias'].astype(f32)[:, None])
+        out['ln2'].append(jnp.stack(
+            [p['norm2']['scale'], p['norm2']['bias']]).astype(f32)[..., None])
+        ffn, fbs = p['ffn'], bs['ffn']
+        s1, t1 = _fold_bn(ffn['norm1']['bn'], fbs['norm1']['bn'])
+        s2, t2 = _fold_bn(ffn['norm2']['bn'], fbs['norm2']['bn'])
+        s3, t3 = _fold_bn(ffn['norm3']['bn'], fbs['norm3']['bn'])
+        out['w1'].append((ffn['fc1']['kernel'][0, 0]
+                          * s1[None, :]).astype(dtype))
+        out['b1'].append((ffn['fc1']['bias'] * s1 + t1).astype(f32)[:, None])
+        out['wdw'].append((ffn['dw']['kernel'][:, :, 0, :]
+                           * s2[None, None, :]).reshape(9, -1).T.astype(f32))
+        out['bdw'].append((ffn['dw']['bias'] * s2 + t2).astype(f32)[:, None])
+        out['w2'].append((ffn['fc2']['kernel'][0, 0]
+                          * s3[None, :]).astype(dtype))
+        out['b2'].append((ffn['fc2']['bias'] * s3 + t3).astype(f32)[:, None])
+        out['bias'].append(build_group_bias(
+            a['rpe']['relative_position_bias_table'], num_heads, ws,
+            g, tg, dtype))
+    return {k: jnp.stack(v) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
+                   num_heads: int, window: int = 7, n_streams: int = 1,
+                   group_windows: int = 8, interpret=None) -> Array:
+    """Run a chain of HRFormerBlocks (eval) in one Pallas kernel.
+
+    Args:
+        x: [S*B, C, H, W] channels-first input — `n_streams`
+            independent streams stacked on the leading axis (stream-
+            major: stream s occupies rows [s*B, (s+1)*B)).
+        blocks: flat stream-major list of S*L per-block variable dicts;
+            every stream runs the same L = len(blocks)//n_streams
+            block structure with its own weights.
+        num_heads: heads per block (C % num_heads == 0).
+
+    Returns: [S*B, C, H, W], same dtype as x.
+    """
+    if interpret is None:      # CPU has no Mosaic: interpret the kernel
+        interpret = jax.default_backend() != 'tpu'
+    sb, c, h, w = x.shape
+    assert sb % n_streams == 0
+    b = sb // n_streams
+    num_blocks = len(blocks) // n_streams
+    assert num_blocks * n_streams == len(blocks)
+    geo = _geometry(h, w, window, group_windows)
+    dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.bfloat16
+    ch = blocks[0]['params']['ffn']['fc1']['kernel'].shape[-1]
+
+    params = stack_chain_params(blocks, num_heads, window, group_windows,
+                                geo.tg, dt)
+    deltas, taps, masks = geo.dw_variants()
+    nv = len(deltas)
+
+    # row-major CF input, padded to the window ring; window-row slabs
+    # fold into SUBLANES ([sb, nwh*C, ts_in]) so the kernel's per-slab
+    # permute dots slice sublanes, never misaligned lanes
+    xp = jnp.pad(x.astype(dt),
+                 ((0, 0), (0, 0), (geo.pt, geo.hp - h - geo.pt),
+                  (geo.pl, geo.wp - w - geo.pl)))
+    xp = xp.reshape(sb, c, geo.nwh, geo.ts_in).transpose(0, 2, 1, 3)
+    xp = xp.reshape(sb, geo.nwh * c, geo.ts_in)
+
+    pin = jnp.asarray(geo.entry_perm(), dt)
+    pout = jnp.asarray(geo.exit_perm(), dt)
+    valid = jnp.asarray(geo.valid_mask(), jnp.float32)
+    dwmask = jnp.asarray(masks, jnp.float32)
+
+    def im_x(sb_i, l):
+        return (sb_i, 0, 0)
+
+    def im_w(ndim):
+        def f(sb_i, l):
+            return ((sb_i // b) * num_blocks + l,) + (0,) * (ndim - 1)
+        return f
+
+    def im_const(ndim):
+        return lambda sb_i, l: (0,) * ndim
+
+    wspec = lambda a: pl.BlockSpec((1,) + a.shape[1:], im_w(a.ndim),
+                                   memory_space=pltpu.VMEM)
+    cspec = lambda a: pl.BlockSpec(a.shape, im_const(a.ndim),
+                                   memory_space=pltpu.VMEM)
+
+    skip = os.environ.get('HRFUSER_CHAIN_SKIP', '')
+    kernel = functools.partial(
+        _chain_kernel, num_blocks=num_blocks, num_heads=num_heads,
+        c=c, ch=ch, geo_key=(h, w, window, group_windows),
+        dw_deltas=tuple(int(d) for d in deltas),
+        dw_taps=tuple(int(t) for t in taps), interpret=interpret,
+        skip=skip)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(sb, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, geo.nwh * c, geo.ts_in), im_x,
+                         memory_space=pltpu.VMEM),
+            cspec(pin), cspec(pout), cspec(valid), cspec(dwmask),
+            wspec(params['ln1']), wspec(params['wqkv']),
+            wspec(params['bqkv']), wspec(params['wo']),
+            wspec(params['bo']), wspec(params['ln2']),
+            wspec(params['w1']), wspec(params['b1']),
+            wspec(params['wdw']), wspec(params['bdw']),
+            wspec(params['w2']), wspec(params['b2']),
+            wspec(params['bias']),
+        ],
+        out_specs=pl.BlockSpec((1, geo.nwh * c, geo.ts_in), im_x,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((sb, geo.nwh * c, geo.ts_in), dt),
+        scratch_shapes=[
+            pltpu.VMEM((c, geo.n), dt),            # xres
+            pltpu.VMEM((c, geo.n), dt),            # qln
+            pltpu.VMEM((c, geo.n), dt),            # q
+            pltpu.VMEM((c, geo.n), dt),            # k
+            pltpu.VMEM((c, geo.n), dt),            # v
+            pltpu.VMEM((c, geo.n), dt),            # attn
+            pltpu.VMEM((ch, geo.n), dt),           # hidden
+            pltpu.VMEM((ch, geo.n), jnp.float32),  # dw accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary'),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, pin, pout, valid, dwmask,
+      params['ln1'], params['wqkv'], params['bqkv'], params['wo'],
+      params['bo'], params['ln2'], params['w1'], params['b1'],
+      params['wdw'], params['bdw'], params['w2'], params['b2'],
+      params['bias'])
+
+    out = out.reshape(sb, geo.nwh, c, geo.ws, geo.wp).transpose(0, 2, 1, 3, 4)
+    out = out.reshape(sb, c, geo.hp, geo.wp)
+    return out[:, :, geo.pt:geo.pt + h, geo.pl:geo.pl + w].astype(x.dtype)

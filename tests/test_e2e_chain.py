@@ -1,0 +1,195 @@
+"""Synthetic end-to-end chain: create_data -> dataset -> loader ->
+train steps -> sharded eval -> metrics (VERDICT r4 #8).
+
+Every piece here has its own unit tests; this test guards the
+INTEGRATION seams a real-data run will exercise (export json schema ->
+dataset reader -> pipeline dict contract -> collate -> sharded train
+step -> sharded inference -> metric evaluation), end to end on a fake
+nuScenes DB written to disk, tiny shapes, < 5 min CPU.
+
+Reference chain: `tools/create_data.py` -> `nuscenes_converter.py` ->
+`CocoDataset` -> `build_dataloader` -> `train_detector` ->
+`single/multi_gpu_test` -> `CocoDataset.evaluate`
+(ref tools/create_data.py:14-49, mmdet/apis/train.py:71-203,
+mmdet/apis/test.py:18-308, mmdet/datasets/coco.py:383-560).
+"""
+
+import dataclasses
+import json
+import os
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hrfuser_tpu.data.nuscenes_export import export_2d_annotation
+
+pytestmark = pytest.mark.slow   # one full (tiny) train+eval compile
+
+
+CAM_W, CAM_H = 1600, 900
+SENS_W, SENS_H = 96, 54          # pre-rendered at the resized cam grid
+SCALE, SHIFT = 100.0, 200.0
+
+
+class _ChainDB:
+    """FakeDB generalised to `n` samples (see test_nuscenes_export)."""
+
+    def __init__(self, n: int):
+        ident = [1.0, 0.0, 0.0, 0.0]
+        self.tables = {t: {} for t in
+                       ('sample_data', 'sample', 'calibrated_sensor',
+                        'ego_pose', 'sample_annotation')}
+        self.tables['calibrated_sensor']['cs1'] = {
+            'translation': [0., 0., 0.], 'rotation': ident,
+            'camera_intrinsic': [[800., 0., 800.],
+                                 [0., 800., 450.],
+                                 [0., 0., 1.]]}
+        self.tables['ego_pose']['ep1'] = {
+            'translation': [0., 0., 0.], 'rotation': ident}
+        for i in range(n):
+            sd, s, a = f'sd{i}', f's{i}', f'a{i}'
+            self.tables['sample_data'][sd] = {
+                'token': sd, 'sample_token': s,
+                'sensor_modality': 'camera', 'is_key_frame': True,
+                'calibrated_sensor_token': 'cs1', 'ego_pose_token': 'ep1',
+                'filename': f'samples/CAM_FRONT/img{i}.jpg',
+                'width': CAM_W, 'height': CAM_H}
+            self.tables['sample'][s] = {'token': s, 'anns': [a]}
+            # a 2 m cube 4-6 m ahead, laterally offset per sample
+            self.tables['sample_annotation'][a] = {
+                'token': a, 'translation': [0.4 * (i - n / 2), 0.,
+                                            4. + 0.25 * i],
+                'size': [2., 2., 2.], 'rotation': ident,
+                'category_name': 'vehicle.car',
+                'visibility_token': '4', 'attribute_tokens': []}
+
+    def get(self, table, token):
+        return self.tables[table][token]
+
+    def box_velocity(self, token):
+        return np.array([1.0, 0.0, 0.0])
+
+
+def _write_sensor_png(path, rng, channels=3):
+    """uint16 quantised sensor projection: (value + SHIFT) * SCALE."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    vals = rng.uniform(0.0, 50.0, (SENS_H, SENS_W, channels))
+    # sparse projections: most pixels are background (0 after dequant)
+    mask = rng.random((SENS_H, SENS_W, 1)) < 0.2
+    q = ((vals + SHIFT) * SCALE * mask).astype(np.uint16)
+    assert cv2.imwrite(path, q)
+
+
+def _fake_dataset_on_disk(root, n=8):
+    rng = np.random.default_rng(0)
+    db = _ChainDB(n)
+    infos = []
+    for i in range(n):
+        img = (rng.random((CAM_H, CAM_W, 3)) * 255).astype(np.uint8)
+        path = os.path.join(root, f'samples/CAM_FRONT/img{i}.jpg')
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        assert cv2.imwrite(path, img)
+        sens = {}
+        for mod, keys in (('lidar', ('rih', 'xz0')),
+                          ('radar', ('riv', 'xz0'))):
+            entry = {'width': SENS_W, 'height': SENS_H,
+                     'background': 20000.0,
+                     'img_scale_factor': CAM_W / SENS_W}
+            for k in keys:
+                rel = f'{mod}_samples/{k}/sd{i}.png'
+                _write_sensor_png(os.path.join(root, rel), rng)
+                entry[k] = {'file_name': os.path.join('data/nuscenes', rel),
+                            'pixel_scale_factor': SCALE, 'shift': SHIFT,
+                            'empty_channels': None}
+            sens[mod] = entry
+        infos.append({
+            'token': f's{i}',
+            'ego2global_translation': [0., 0., 0.],
+            'ego2global_rotation': [1., 0., 0., 0.],
+            'cams': {'CAM_FRONT': {
+                'sample_data_token': f'sd{i}',
+                'data_path': f'data/nuscenes/samples/CAM_FRONT/img{i}.jpg',
+                'cam_intrinsic': db.tables['calibrated_sensor']['cs1'][
+                    'camera_intrinsic'],
+                'sensor2ego_translation': [0., 0., 0.],
+                'sensor2ego_rotation': [1., 0., 0., 0.],
+                'width': CAM_W, 'height': CAM_H}},
+            'lidar_img': {'CAM_FRONT': sens['lidar']},
+            'radar_img': {'CAM_FRONT': sens['radar']},
+        })
+    ann_file = os.path.join(root, 'nuscenes_infos_val_mono3d.coco.json')
+    export_2d_annotation(db, infos, ann_file)
+    return ann_file
+
+
+def test_chain_create_data_to_metrics(tmp_path):
+    from hrfuser_tpu.apis.test import evaluate, run_inference
+    from hrfuser_tpu.apis.train import create_train_state
+    from hrfuser_tpu.configs import get_config
+    from hrfuser_tpu.configs.presets import DataCfg
+    from hrfuser_tpu.data.datasets.coco import CocoFusionDataset
+    from hrfuser_tpu.data.loader import DetDataLoader
+    from hrfuser_tpu.models import CascadeRCNN
+    from hrfuser_tpu.parallel.api import make_sharded_train_step
+    from hrfuser_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    root = str(tmp_path)
+    ann_file = _fake_dataset_on_disk(root, n=8)
+
+    # --- dataset + loaders (train & test pipelines) ---
+    classes = ['car', 'truck', 'bus', 'bicycle']
+    data_cfg = DataCfg(dataset='nuscenes', classes=tuple(classes),
+                       img_scale=(SENS_W, 64), modalities=('lidar', 'radar'),
+                       modality_drop_p=(0.2, 0.2, 0.2), flip_ratio=0.5)
+    ds = CocoFusionDataset(ann_file, classes=classes,
+                           img_prefix=root, lidar_prefix=root,
+                           radar_prefix=root)
+    assert len(ds) == 8
+    train_loader = DetDataLoader(ds, data_cfg, batch_size=8, train=True,
+                                 max_gts=8, prefetch=0)
+
+    # --- model + sharded train steps on the virtual 8-device mesh ---
+    cfg = get_config('micro_fusion_dryrun')
+    cfg = dataclasses.replace(cfg, data=data_cfg)
+    det = CascadeRCNN(cfg.model)
+    batch0 = next(iter(train_loader))
+    assert batch0['img'].shape == (8, 64, SENS_W, 3)
+    assert len(batch0['mod_imgs']) == 2
+    variables = det.init(jax.random.PRNGKey(0), batch0['img'],
+                         batch0['mod_imgs'], train=False)
+    mesh = make_mesh(8)
+    state, tx = create_train_state(det, variables, cfg.optim, cfg.schedule,
+                                   steps_per_epoch=len(train_loader))
+    step = make_sharded_train_step(det, tx, mesh)
+    state = replicate(mesh, state)
+    losses = []
+    for ep in range(3):
+        for batch in train_loader:
+            jb = {k: jnp.asarray(v) if k != 'mod_imgs' else
+                  [jnp.asarray(m) for m in v]
+                  for k, v in batch.items() if k not in ('metas', 'num_real')}
+            state, metrics = step(state, shard_batch(mesh, jb),
+                                  replicate(mesh, jax.random.PRNGKey(ep)))
+            losses.append(float(metrics['loss']))
+    assert np.isfinite(losses).all(), losses
+
+    # --- sharded eval + metric chain ---
+    test_loader = DetDataLoader(ds, data_cfg, batch_size=8, train=False,
+                                prefetch=0)
+    trained = {'params': state.params,
+               'batch_stats': state.batch_stats}
+    results = run_inference(det, trained, test_loader, progress=False,
+                            mesh=mesh)
+    assert len(results) == 8
+    for r in results:
+        assert r['boxes'].shape[1:] == (4,)
+        assert np.isfinite(r['scores']).all()
+    metrics = evaluate(cfg, results, ds)
+    # the fake DB has only medium/large 'car' GT: area-restricted and
+    # absent-class APs are legitimately NaN (COCOeval's -1), but the
+    # headline metrics must come out finite
+    assert np.isfinite(metrics['mAP'])
+    assert np.isfinite(metrics['mAP_50'])

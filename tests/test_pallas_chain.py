@@ -1,0 +1,103 @@
+"""Parity: dense-packed Pallas chain kernel vs the flax block chain.
+
+The chain kernel (`ops/pallas_chain.py`) must reproduce a sequence of
+eval-mode `HRFormerBlock`s exactly (BNs folded with running stats,
+DropPath identity): reference `HRFormerBlock`/`CrossFFN`
+(mmdet/models/backbones/hrformer.py:239-386).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from hrfuser_tpu.layers.attention import HRFormerBlock
+from hrfuser_tpu.ops.pallas_chain import hrformer_chain
+
+pytestmark = pytest.mark.slow
+
+INTERPRET = jax.default_backend() != 'tpu'
+
+
+class _Chain(nn.Module):
+    n_blocks: int
+    num_heads: int
+    mlp_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        for i in range(self.n_blocks):
+            x = HRFormerBlock(num_heads=self.num_heads, window_size=7,
+                              mlp_ratio=self.mlp_ratio,
+                              name=f'b{i}')(x, train)
+        return x
+
+
+def _init_chain(rng, n_blocks, heads, h, w, c, mlp=2.0):
+    m = _Chain(n_blocks, heads, mlp)
+    x = jnp.asarray(rng.normal(0, 1, (2, h, w, c)), jnp.float32)
+    vs = m.init(jax.random.PRNGKey(0), x)
+    # randomize batch stats so BN folding is actually exercised
+    bs = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(0.1, 0.3, a.shape) ** 2 + 0.5
+                              if a.ndim else a, a.dtype),
+        vs.get('batch_stats', {}))
+    vs = {'params': vs['params'], 'batch_stats': bs}
+    return m, vs, x
+
+
+def _block_vars(vs, i):
+    return {'params': vs['params'][f'b{i}'],
+            'batch_stats': vs['batch_stats'][f'b{i}']}
+
+
+@pytest.mark.parametrize('shape,heads,blocks', [
+    ((14, 21, 6), 1, 2),         # 2x3 windows, 1 group
+    ((16, 30, 8), 2, 2),         # ragged: pads to windows + group
+    ((14, 119, 6), 1, 1),        # 17 windows -> 3 groups of 8 (2 ragged)
+])
+def test_chain_matches_flax(shape, heads, blocks):
+    h, w, c = shape
+    rng = np.random.default_rng(0)
+    m, vs, x = _init_chain(rng, blocks, heads, h, w, c)
+    ref = m.apply(vs, x)
+    xin = x.transpose(0, 3, 1, 2)                  # CF
+    got = hrformer_chain(xin, [_block_vars(vs, i) for i in range(blocks)],
+                         num_heads=heads, interpret=INTERPRET)
+    got = got.transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_chain_two_streams_stacked():
+    """Stream stacking: two independent weight sets on one grid."""
+    h, w, c, heads = 14, 21, 6, 1
+    rng = np.random.default_rng(1)
+    m0, vs0, x0 = _init_chain(rng, 2, heads, h, w, c)
+    m1, vs1, x1 = _init_chain(rng, 2, heads, h, w, c)
+    ref0 = m0.apply(vs0, x0)
+    ref1 = m1.apply(vs1, x1)
+    xin = jnp.concatenate([x0, x1], 0).transpose(0, 3, 1, 2)
+    blocks = ([_block_vars(vs0, i) for i in range(2)]
+              + [_block_vars(vs1, i) for i in range(2)])
+    got = hrformer_chain(xin, blocks, num_heads=heads, n_streams=2,
+                         interpret=INTERPRET).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got[:2]), np.asarray(ref0),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(got[2:]), np.asarray(ref1),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_chain_bf16_money_geometry_small_batch():
+    """r640 branch-0 geometry (96x160, C=18) at batch 1, bf16."""
+    rng = np.random.default_rng(2)
+    m, vs, _ = _init_chain(rng, 1, 1, 96, 160, 18, mlp=4.0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 96, 160, 18)), jnp.float32)
+    ref = m.apply(vs, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    xin = x.astype(jnp.bfloat16).transpose(0, 3, 1, 2)
+    got = hrformer_chain(xin, [_block_vars(vs, 0)], num_heads=1,
+                         interpret=INTERPRET)
+    got = got.astype(jnp.float32).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=6e-2, rtol=6e-2)
