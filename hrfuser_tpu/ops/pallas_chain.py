@@ -197,6 +197,33 @@ class ChainGeometry:
         return (np.asarray(deltas, np.int64), np.asarray(taps, np.int64),
                 np.stack(masks))
 
+    def dw_factored(self):
+        """Factored 3x3 taps: 16 rolls instead of 25.
+
+        Row (dy) and column (dx) lane-shifts commute in this layout
+        (dx deltas preserve (row, r), dy deltas preserve (col, group)),
+        and the real region is a rectangle, so the depthwise conv
+        factors into 3 row-shifted STREAMS (dy = -1/0/+1; the +-1
+        streams are 2 masked rolls each) followed by per-stream dx
+        rolls whose masks are the shared (0, dx) variant masks — the
+        dy-masks ride along inside the streams.
+
+        Returns (dy_vars, dx_vars): dy_vars[j] for dy = -1/+1 is a list
+        of (delta, mask [N]); dx_vars is a list of (delta, mask [N],
+        dx) for dx in (-1, +1).
+        """
+        deltas, taps, masks = self.dw_variants()
+        dy_vars = {-1: [], 1: []}
+        dx_vars = []
+        for d, tap, m in zip(deltas, taps, masks):
+            dy, dx = divmod(int(tap), 3)
+            dy, dx = dy - 1, dx - 1
+            if dx == 0 and dy != 0:
+                dy_vars[dy].append((int(d), m))
+            elif dy == 0 and dx != 0:
+                dx_vars.append((int(d), m, dx))
+        return dy_vars, dx_vars
+
 
 @functools.lru_cache(maxsize=None)
 def _geometry(h, w, ws, g):
@@ -256,7 +283,7 @@ def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
                   xres, qln, qb, kb, vb, attnb, hid, accf,
                   *, num_blocks: int, num_heads: int, c: int, ch: int,
                   geo_key, dw_deltas, dw_taps, interpret: bool,
-                  skip: str = ''):
+                  skip: str = '', xla_permute: bool = False):
     geo = _geometry(*geo_key)
     n = geo.n
     tg = geo.tg
@@ -265,17 +292,21 @@ def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
     l = pl.program_id(1)
     dt = out_ref.dtype
 
-    # ---- entry: permute row-major CF slabs into the packed layout ----
-    # input arrives as [1, nwh*C, ts_in]: slab wr = sublane rows
-    # [wr*C, (wr+1)*C), lanes always start at 0 (no misaligned lane
-    # slicing on the wide input)
+    # ---- entry ----
+    # xla_permute: the wrapper already delivers packed [C, N] tokens
+    # (one XLA 6-D transpose per chain); otherwise permute row-major CF
+    # slabs via the 0/1 matmuls (input [1, nwh*C, ts_in]: slab wr =
+    # sublane rows [wr*C, (wr+1)*C), lanes always from 0).
     @pl.when(l == 0)
     def _entry():
-        for wr in range(geo.nwh):
-            slab = x_ref[0, wr * c:(wr + 1) * c, :]
-            xres[:, wr * geo.ts_out:(wr + 1) * geo.ts_out] = jnp.dot(
-                slab, pin_ref[:],
-                preferred_element_type=jnp.float32).astype(xres.dtype)
+        if xla_permute:
+            xres[:] = x_ref[0]
+        else:
+            for wr in range(geo.nwh):
+                slab = x_ref[0, wr * c:(wr + 1) * c, :]
+                xres[:, wr * geo.ts_out:(wr + 1) * geo.ts_out] = jnp.dot(
+                    slab, pin_ref[:],
+                    preferred_element_type=jnp.float32).astype(xres.dtype)
 
     valid = valid_ref[:]                                   # [1, N] f32
 
@@ -328,18 +359,33 @@ def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
     g1 = 0.5 * hraw * (1.0 + _erf(hraw * np.float32(1 / np.sqrt(2.0))))
     hid[:] = (g1 * valid).astype(dt)                       # torch zero pad
 
-    # dw conv as ONE value-form expression (single store): Mosaic keeps
-    # the partial sums in registers per tile instead of 25 accumulator
-    # round-trips through VMEM (measured 0.61 -> see perf notes)
+    # factored dw conv: 3 row-shifted streams then per-stream column
+    # rolls (16 f32 rolls total instead of 25 — see
+    # ChainGeometry.dw_factored); dwmask rows: [0..n_dym) = dy-variant
+    # masks, then the dx-variant masks
     hval = hid[:]
     acc = jnp.broadcast_to(bdw_ref[0], (ch, n))
-    dw_iter = [] if 'dw' in skip else range(len(dw_deltas))
-    for vi in dw_iter:
-        delta = int(dw_deltas[vi])
-        tap = int(dw_taps[vi])
-        sh = roll(hval, -delta).astype(jnp.float32)
-        acc = acc + (sh * wdw_ref[0, :, tap:tap + 1]
-                     * dwmask_ref[vi:vi + 1, :])
+    if 'dw' not in skip:
+        n_dym = len(dw_deltas[0]) + len(dw_deltas[1])
+        streams = []
+        mi = 0
+        for j, dy in enumerate((-1, 1)):
+            sacc = jnp.zeros((ch, n), jnp.float32)
+            for d in dw_deltas[j]:
+                sacc = sacc + (roll(hval, -d).astype(jnp.float32)
+                               * dwmask_ref[mi:mi + 1, :])
+                mi += 1
+            streams.append((sacc, dy))
+        streams.insert(1, (hval.astype(jnp.float32), 0))
+        for sval, dy in streams:
+            acc = acc + sval * wdw_ref[0, :, 3 * (dy + 1) + 1:
+                                       3 * (dy + 1) + 2]
+        for j, (d, dx) in enumerate(dw_taps):
+            m = dwmask_ref[n_dym + j:n_dym + j + 1, :]
+            for sval, dy in streams:
+                tap = 3 * (dy + 1) + (dx + 1)
+                acc = acc + (roll(sval, -d) * m
+                             * wdw_ref[0, :, tap:tap + 1])
     accf[:] = acc
     g2 = 0.5 * accf[:] * (1.0 + _erf(accf[:] * np.float32(1 / np.sqrt(2.0))))
     o2 = _cdot(w2_ref[0], g2.astype(dt)) + b2_ref[0]
@@ -349,11 +395,14 @@ def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
     # ---- exit: permute back to row-major CF ----
     @pl.when(l == num_blocks - 1)
     def _exit():
-        for wr in range(geo.nwh):
-            packed = xres[:, wr * geo.ts_out:(wr + 1) * geo.ts_out]
-            out_ref[0, wr * c:(wr + 1) * c, :] = jnp.dot(
-                packed, pout_ref[:],
-                preferred_element_type=jnp.float32).astype(dt)
+        if xla_permute:
+            out_ref[0] = xres[:]
+        else:
+            for wr in range(geo.nwh):
+                packed = xres[:, wr * geo.ts_out:(wr + 1) * geo.ts_out]
+                out_ref[0, wr * c:(wr + 1) * c, :] = jnp.dot(
+                    packed, pout_ref[:],
+                    preferred_element_type=jnp.float32).astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -408,7 +457,8 @@ def stack_chain_params(blocks: Sequence[Dict[str, Any]], num_heads: int,
 
 def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
                    num_heads: int, window: int = 7, n_streams: int = 1,
-                   group_windows: int = 8, interpret=None) -> Array:
+                   group_windows: int = 8, interpret=None,
+                   xla_permute: bool = True) -> Array:
     """Run a chain of HRFormerBlocks (eval) in one Pallas kernel.
 
     Args:
@@ -424,6 +474,7 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
     """
     if interpret is None:      # CPU has no Mosaic: interpret the kernel
         interpret = jax.default_backend() != 'tpu'
+    XLA_PERMUTE = bool(xla_permute)
     sb, c, h, w = x.shape
     assert sb % n_streams == 0
     b = sb // n_streams
@@ -435,20 +486,47 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
 
     params = stack_chain_params(blocks, num_heads, window, group_windows,
                                 geo.tg, dt)
-    deltas, taps, masks = geo.dw_variants()
-    nv = len(deltas)
+    dy_vars, dx_vars = geo.dw_factored()
+    dw_deltas = (tuple(d for d, _ in dy_vars[-1]),
+                 tuple(d for d, _ in dy_vars[1]))
+    dw_taps = tuple((d, dx) for d, _, dx in dx_vars)
+    masks = np.stack([m for _, m in dy_vars[-1]]
+                     + [m for _, m in dy_vars[1]]
+                     + [m for _, m, _ in dx_vars])
 
-    # row-major CF input, padded to the window ring; window-row slabs
-    # fold into SUBLANES ([sb, nwh*C, ts_in]) so the kernel's per-slab
-    # permute dots slice sublanes, never misaligned lanes
+    # row-major CF input, padded to the window ring
     xp = jnp.pad(x.astype(dt),
                  ((0, 0), (0, 0), (geo.pt, geo.hp - h - geo.pt),
                   (geo.pl, geo.wp - w - geo.pl)))
-    xp = xp.reshape(sb, c, geo.nwh, geo.ts_in).transpose(0, 2, 1, 3)
-    xp = xp.reshape(sb, geo.nwh * c, geo.ts_in)
+    ws = geo.ws
+    if XLA_PERMUTE:
+        # pack tokens XLA-side: ONE 6-D transpose per chain (the kernel
+        # permute dots are M=18-starved on the MXU: measured 1.74 ms
+        # fixed per call at the money shape vs ~0.2 ms for this)
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0),
+                          (0, geo.ng * geo.cols_g - geo.wp)))
+        xp = xp.reshape(sb, c, geo.nwh, ws, geo.ng, geo.cols_g)
+        xp = xp.transpose(0, 1, 2, 4, 5, 3)        # [..., ng, kg, r]
+        xp = xp.reshape(sb, c, geo.nwh, geo.ng, geo.cols_g * ws)
+        xp = jnp.pad(xp, ((0, 0),) * 4 + ((0, geo.tg - geo.cols_g * ws),))
+        xp = xp.reshape(sb, c, geo.n)
+        in_shape = (1, c, geo.n)
+        out_shape = (sb, c, geo.n)
+    else:
+        # window-row slabs fold into SUBLANES ([sb, nwh*C, ts_in]) so
+        # the kernel's per-slab permute dots slice sublanes, never
+        # misaligned lanes
+        xp = xp.reshape(sb, c, geo.nwh, geo.ts_in).transpose(0, 2, 1, 3)
+        xp = xp.reshape(sb, geo.nwh * c, geo.ts_in)
+        in_shape = (1, geo.nwh * c, geo.ts_in)
+        out_shape = (sb, geo.nwh * c, geo.ts_in)
 
-    pin = jnp.asarray(geo.entry_perm(), dt)
-    pout = jnp.asarray(geo.exit_perm(), dt)
+    if XLA_PERMUTE:                    # unused by the kernel: tiny dummies
+        pin = jnp.zeros((1, 1), dt)
+        pout = jnp.zeros((1, 1), dt)
+    else:
+        pin = jnp.asarray(geo.entry_perm(), dt)
+        pout = jnp.asarray(geo.exit_perm(), dt)
     valid = jnp.asarray(geo.valid_mask(), jnp.float32)
     dwmask = jnp.asarray(masks, jnp.float32)
 
@@ -469,19 +547,18 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
                                    memory_space=pltpu.VMEM)
 
     skip = os.environ.get('HRFUSER_CHAIN_SKIP', '')
+    del xla_permute
     kernel = functools.partial(
         _chain_kernel, num_blocks=num_blocks, num_heads=num_heads,
         c=c, ch=ch, geo_key=(h, w, window, group_windows),
-        dw_deltas=tuple(int(d) for d in deltas),
-        dw_taps=tuple(int(t) for t in taps), interpret=interpret,
-        skip=skip)
+        dw_deltas=dw_deltas, dw_taps=dw_taps, interpret=interpret,
+        skip=skip, xla_permute=XLA_PERMUTE)
 
     out = pl.pallas_call(
         kernel,
         grid=(sb, num_blocks),
         in_specs=[
-            pl.BlockSpec((1, geo.nwh * c, geo.ts_in), im_x,
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_shape, im_x, memory_space=pltpu.VMEM),
             cspec(pin), cspec(pout), cspec(valid), cspec(dwmask),
             wspec(params['ln1']), wspec(params['wqkv']),
             wspec(params['bqkv']), wspec(params['wo']),
@@ -491,9 +568,8 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
             wspec(params['w2']), wspec(params['b2']),
             wspec(params['bias']),
         ],
-        out_specs=pl.BlockSpec((1, geo.nwh * c, geo.ts_in), im_x,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((sb, geo.nwh * c, geo.ts_in), dt),
+        out_specs=pl.BlockSpec(in_shape, im_x, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_shape, dt),
         scratch_shapes=[
             pltpu.VMEM((c, geo.n), dt),            # xres
             pltpu.VMEM((c, geo.n), dt),            # qln
@@ -514,6 +590,14 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
       params['wdw'], params['bdw'], params['w2'], params['b2'],
       params['bias'])
 
-    out = out.reshape(sb, geo.nwh, c, geo.ws, geo.wp).transpose(0, 2, 1, 3, 4)
-    out = out.reshape(sb, c, geo.hp, geo.wp)
+    if XLA_PERMUTE:
+        out = out.reshape(sb, c, geo.nwh, geo.ng, geo.tg)
+        out = out[..., :geo.cols_g * ws]
+        out = out.reshape(sb, c, geo.nwh, geo.ng, geo.cols_g, ws)
+        out = out.transpose(0, 1, 2, 5, 3, 4)      # [..., r, ng, kg]
+        out = out.reshape(sb, c, geo.hp, geo.ng * geo.cols_g)
+        out = out[:, :, :, :geo.wp]
+    else:
+        out = out.reshape(sb, geo.nwh, c, ws, geo.wp).transpose(0, 2, 1, 3, 4)
+        out = out.reshape(sb, c, geo.hp, geo.wp)
     return out[:, :, geo.pt:geo.pt + h, geo.pl:geo.pl + w].astype(x.dtype)

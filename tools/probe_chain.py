@@ -40,12 +40,17 @@ class Chain(nn.Module):
         return x
 
 
-def bench(fn, *args, iters=30):
-    out = fn(*args)
+def bench(fn, vs, xs, iters=30):
+    """Times over DISTINCT inputs: enqueueing the identical computation
+    repeatedly measured 20x too fast on this stack (results appear to be
+    deduped/cached somewhere between client and device), which produced
+    the bogus 0.05 ms/block flax readings in early r5 probes."""
+    out = fn(vs, xs[0]) if vs is not None else fn(xs[0])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    for i in range(iters):
+        x = xs[i % len(xs)]
+        out = fn(vs, x) if vs is not None else fn(x)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -65,12 +70,14 @@ def main():
     rng = np.random.default_rng(0)
     x_nhwc = jnp.asarray(rng.normal(0, 1, (b, h, w, c)), jnp.bfloat16)
     x_cf = x_nhwc.transpose(0, 3, 1, 2)
+    # distinct per-iteration inputs (see bench docstring)
+    xs = [jax.block_until_ready(x_cf * (1.0 + 1e-4 * i)) for i in range(8)]
 
     for L in args.blocks:
         m = Chain(L, heads)
         vs = m.init(jax.random.PRNGKey(0), x_cf)
         flax_fn = jax.jit(lambda v, x: m.apply(v, x))
-        t_flax = bench(flax_fn, vs, x_cf, iters=args.iters)
+        t_flax = bench(flax_fn, vs, xs, iters=args.iters)
 
         blocks = [{'params': vs['params'][f'b{i}'],
                    'batch_stats': vs['batch_stats'][f'b{i}']}
@@ -80,7 +87,7 @@ def main():
             return hrformer_chain(x, blocks, num_heads=heads,
                                   group_windows=args.g)
         chain_jit = jax.jit(chain_fn)
-        t_chain = bench(chain_jit, x_cf, iters=args.iters)
+        t_chain = bench(chain_jit, None, xs, iters=args.iters)
 
         # parity spot check on the same weights
         ref = np.asarray(flax_fn(vs, x_cf), np.float32)
