@@ -41,12 +41,30 @@ class FusionBank(nn.Module):
     num_modalities: int
     remat: bool = False
     cf_layout: str = 'off'                   # 'off' | 'auto' | 'on'
+    chain_kernel: str = 'off'                # 'off' | 'auto' | 'on'
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, xs: List[Array], mods: List[List[Array]],
                  train: bool) -> List[Array]:
+        from hrfuser_tpu.ops.pallas_chain import resolve_chain
         f = self.fusion
+        chain = (not self.is_initializing()
+                 and resolve_chain(self.chain_kernel, train))
+        if chain:
+            from hrfuser_tpu.ops.pallas_chain import fusion_chain
+            v = self.variables
+            out = []
+            for i in range(f.num_branches):
+                blk = {'params': v['params'][f'branch{i}'],
+                       'batch_stats': v['batch_stats'][f'branch{i}']}
+                y = fusion_chain(
+                    xs[i].transpose(0, 3, 1, 2),
+                    [z.transpose(0, 3, 1, 2) for z in mods[i]], blk,
+                    num_heads=f.num_heads[i],
+                    window=f.window_sizes[i])
+                out.append(y.transpose(0, 2, 3, 1))
+            return out
         blk_cls = (nn.remat(HRFuserFusionBlock, static_argnums=(3,))
                    if self.remat else HRFuserFusionBlock)
         out = []
@@ -180,7 +198,8 @@ class HRFuserBackbone(nn.Module):
                                   dtype=self.dtype,
                                   name='transition_a')(mods, train)
         xs = FusionBank(cfg.fusion_a, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout,
+                        chain_kernel=cfg.chain_kernel, dtype=self.dtype,
                         name='fusion_a')(xs, m_br, train)
         ys = HRStage(cfg.stage2, cfg.stage2.out_channels, remat=cfg.remat,
                      cf_layout=cfg.cf_layout,
@@ -199,7 +218,8 @@ class HRFuserBackbone(nn.Module):
                                   dtype=self.dtype,
                                   name='transition_b')(mods, train)
         xs = FusionBank(cfg.fusion_b, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout,
+                        chain_kernel=cfg.chain_kernel, dtype=self.dtype,
                         name='fusion_b')(xs, m_br, train)
         ys = HRStage(cfg.stage3, cfg.stage3.out_channels, remat=cfg.remat,
                      cf_layout=cfg.cf_layout,
@@ -218,7 +238,8 @@ class HRFuserBackbone(nn.Module):
                                   dtype=self.dtype,
                                   name='transition_c')(mods, train)
         xs = FusionBank(cfg.fusion_c, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, dtype=self.dtype,
+                        cf_layout=cfg.cf_layout,
+                        chain_kernel=cfg.chain_kernel, dtype=self.dtype,
                         name='fusion_c')(xs, m_br, train)
         ys = HRStage(cfg.stage4, cfg.stage4.out_channels, remat=cfg.remat,
                      cf_layout=cfg.cf_layout,
@@ -235,7 +256,8 @@ class HRFuserBackbone(nn.Module):
                                       dtype=self.dtype,
                                       name='transition_d')(mods, train)
             xs = FusionBank(cfg.fusion_d, nm, remat=cfg.remat,
-                        cf_layout=cfg.cf_layout, dtype=self.dtype,
+                            cf_layout=cfg.cf_layout,
+                            chain_kernel=cfg.chain_kernel, dtype=self.dtype,
                             name='fusion_d')(ys, m_br, train)
             ys = [nn.relu(v) for v in xs]
         return ys

@@ -276,6 +276,79 @@ def _cdot(w, x, out_f32=True):
     return r if out_f32 else r
 
 
+def _attn_groups(qb, kb, vb, attnb, bias2d, *, num_heads, c, tg,
+                 ngroups, dt):
+    """Grouped masked-logits window attention: qb/kb/vb -> attnb."""
+    d = c // num_heads
+    scale = d ** -0.5
+
+    def group_body(i, carry):
+        sl = pl.ds(i * tg, tg)
+        for h in range(num_heads):
+            rows = slice(h * d, (h + 1) * d)
+            q = qb[rows, sl]
+            k = kb[rows, sl]
+            v = vb[rows, sl]
+            logits = jax.lax.dot_general(
+                (q.astype(jnp.float32) * scale).astype(dt), k,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [Tg, Tg]
+            logits = logits + bias2d[h].astype(jnp.float32)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)
+            o = jax.lax.dot_general(
+                v, p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [d, Tg]
+            attnb[rows, sl] = o.astype(dt)
+        return carry
+
+    jax.lax.fori_loop(0, ngroups, group_body, 0)
+
+
+def _ffn_segment(xval, valid, roll, ln2_ref, w1_ref, b1_ref, wdw_ref,
+                 bdw_ref, w2_ref, b2_ref, dwmask_ref, hid, accf, *,
+                 ch, n, dt, dw_deltas, dw_taps, skip=''):
+    """LN -> CrossFFN (BNs folded, factored dw) on packed [C, N].
+
+    Returns the FFN output (pre-residual), f32."""
+    h2 = _ln_cf(xval, ln2_ref[0, 0], ln2_ref[0, 1])
+    hraw = _cdot(w1_ref[0], h2.astype(dt)) + b1_ref[0]
+    g1 = 0.5 * hraw * (1.0 + _erf(hraw * np.float32(1 / np.sqrt(2.0))))
+    hid[:] = (g1 * valid).astype(dt)                       # torch zero pad
+
+    # factored dw conv: 3 row-shifted streams then per-stream column
+    # rolls (16 f32 rolls instead of 25 — ChainGeometry.dw_factored);
+    # dwmask rows: dy-variant masks first, then dx-variant masks
+    hval = hid[:]
+    acc = jnp.broadcast_to(bdw_ref[0], (ch, n))
+    if 'dw' not in skip:
+        n_dym = len(dw_deltas[0]) + len(dw_deltas[1])
+        streams = []
+        mi = 0
+        for j, dy in enumerate((-1, 1)):
+            sacc = jnp.zeros((ch, n), jnp.float32)
+            for d in dw_deltas[j]:
+                sacc = sacc + (roll(hval, -d).astype(jnp.float32)
+                               * dwmask_ref[mi:mi + 1, :])
+                mi += 1
+            streams.append((sacc, dy))
+        streams.insert(1, (hval.astype(jnp.float32), 0))
+        for sval, dy in streams:
+            acc = acc + sval * wdw_ref[0, :, 3 * (dy + 1) + 1:
+                                       3 * (dy + 1) + 2]
+        for j, (d, dx) in enumerate(dw_taps):
+            m = dwmask_ref[n_dym + j:n_dym + j + 1, :]
+            for sval, dy in streams:
+                tap = 3 * (dy + 1) + (dx + 1)
+                acc = acc + (roll(sval, -d) * m
+                             * wdw_ref[0, :, tap:tap + 1])
+    accf[:] = acc
+    g2 = 0.5 * accf[:] * (1.0 + _erf(accf[:] * np.float32(1 / np.sqrt(2.0))))
+    o2 = _cdot(w2_ref[0], g2.astype(dt)) + b2_ref[0]
+    return 0.5 * o2 * (1.0 + _erf(o2 * np.float32(1 / np.sqrt(2.0))))
+
+
 def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
                   ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                   ln2_ref, w1_ref, b1_ref, wdw_ref, bdw_ref,
@@ -287,8 +360,6 @@ def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
     geo = _geometry(*geo_key)
     n = geo.n
     tg = geo.tg
-    d = c // num_heads
-    scale = d ** -0.5
     l = pl.program_id(1)
     dt = out_ref.dtype
 
@@ -327,69 +398,17 @@ def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
     vb[:] = (_cdot(wqkv_ref[0, :, 2 * c:3 * c], qln[:])
              + bqkv_ref[0, 2 * c:3 * c, :]).astype(dt)
 
-    def group_body(i, carry):
-        sl = pl.ds(i * tg, tg)
-        for h in range(num_heads):
-            rows = slice(h * d, (h + 1) * d)
-            q = qb[rows, sl]
-            k = kb[rows, sl]
-            v = vb[rows, sl]
-            logits = jax.lax.dot_general(
-                (q.astype(jnp.float32) * scale).astype(dt), k,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [Tg, Tg]
-            logits = logits + bias_ref[0, h].astype(jnp.float32)
-            m = jnp.max(logits, axis=1, keepdims=True)
-            e = jnp.exp(logits - m)
-            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)
-            o = jax.lax.dot_general(
-                v, p, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [d, Tg]
-            attnb[rows, sl] = o.astype(dt)
-        return carry
-
     if 'attn' not in skip:               # lab attribution knob
-        jax.lax.fori_loop(0, geo.ngroups, group_body, 0)
+        _attn_groups(qb, kb, vb, attnb, bias_ref[0], num_heads=num_heads,
+                     c=c, tg=tg, ngroups=geo.ngroups, dt=dt)
     proj = _cdot(wo_ref[0], attnb[:]) + bo_ref[0]
     xres[:] = (xres[:].astype(jnp.float32) + proj * valid).astype(xres.dtype)
 
     # ---- LN2 + CrossFFN (BNs folded) + residual ----
-    h2 = _ln_cf(xres[:], ln2_ref[0, 0], ln2_ref[0, 1])
-    hraw = _cdot(w1_ref[0], h2.astype(dt)) + b1_ref[0]
-    g1 = 0.5 * hraw * (1.0 + _erf(hraw * np.float32(1 / np.sqrt(2.0))))
-    hid[:] = (g1 * valid).astype(dt)                       # torch zero pad
-
-    # factored dw conv: 3 row-shifted streams then per-stream column
-    # rolls (16 f32 rolls total instead of 25 — see
-    # ChainGeometry.dw_factored); dwmask rows: [0..n_dym) = dy-variant
-    # masks, then the dx-variant masks
-    hval = hid[:]
-    acc = jnp.broadcast_to(bdw_ref[0], (ch, n))
-    if 'dw' not in skip:
-        n_dym = len(dw_deltas[0]) + len(dw_deltas[1])
-        streams = []
-        mi = 0
-        for j, dy in enumerate((-1, 1)):
-            sacc = jnp.zeros((ch, n), jnp.float32)
-            for d in dw_deltas[j]:
-                sacc = sacc + (roll(hval, -d).astype(jnp.float32)
-                               * dwmask_ref[mi:mi + 1, :])
-                mi += 1
-            streams.append((sacc, dy))
-        streams.insert(1, (hval.astype(jnp.float32), 0))
-        for sval, dy in streams:
-            acc = acc + sval * wdw_ref[0, :, 3 * (dy + 1) + 1:
-                                       3 * (dy + 1) + 2]
-        for j, (d, dx) in enumerate(dw_taps):
-            m = dwmask_ref[n_dym + j:n_dym + j + 1, :]
-            for sval, dy in streams:
-                tap = 3 * (dy + 1) + (dx + 1)
-                acc = acc + (roll(sval, -d) * m
-                             * wdw_ref[0, :, tap:tap + 1])
-    accf[:] = acc
-    g2 = 0.5 * accf[:] * (1.0 + _erf(accf[:] * np.float32(1 / np.sqrt(2.0))))
-    o2 = _cdot(w2_ref[0], g2.astype(dt)) + b2_ref[0]
-    g3 = 0.5 * o2 * (1.0 + _erf(o2 * np.float32(1 / np.sqrt(2.0))))
+    g3 = _ffn_segment(xres[:], valid, roll, ln2_ref, w1_ref, b1_ref,
+                      wdw_ref, bdw_ref, w2_ref, b2_ref, dwmask_ref,
+                      hid, accf, ch=ch, n=n, dt=dt, dw_deltas=dw_deltas,
+                      dw_taps=dw_taps, skip=skip)
     xres[:] = ((xres[:].astype(jnp.float32) + g3) * valid).astype(xres.dtype)
 
     # ---- exit: permute back to row-major CF ----
@@ -403,6 +422,208 @@ def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
                 out_ref[0, wr * c:(wr + 1) * c, :] = jnp.dot(
                     packed, pout_ref[:],
                     preferred_element_type=jnp.float32).astype(dt)
+
+
+def _pack_tokens(x, geo, dt):
+    """[SB, C, H, W] row-major CF -> packed [SB, C, N] tokens (one 6-D
+    XLA transpose; ring and group padding zero-filled)."""
+    sb, c = x.shape[:2]
+    ws = geo.ws
+    xp = jnp.pad(x.astype(dt),
+                 ((0, 0), (0, 0), (geo.pt, geo.hp - x.shape[2] - geo.pt),
+                  (geo.pl, geo.wp - x.shape[3] - geo.pl)))
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0),
+                      (0, geo.ng * geo.cols_g - geo.wp)))
+    xp = xp.reshape(sb, c, geo.nwh, ws, geo.ng, geo.cols_g)
+    xp = xp.transpose(0, 1, 2, 4, 5, 3)            # [..., ng, kg, r]
+    xp = xp.reshape(sb, c, geo.nwh, geo.ng, geo.cols_g * ws)
+    xp = jnp.pad(xp, ((0, 0),) * 4 + ((0, geo.tg - geo.cols_g * ws),))
+    return xp.reshape(sb, c, geo.n)
+
+
+def _unpack_tokens(out, geo, h, w):
+    """Inverse of `_pack_tokens`: [SB, C, N] -> [SB, C, h, w]."""
+    sb, c = out.shape[:2]
+    ws = geo.ws
+    out = out.reshape(sb, c, geo.nwh, geo.ng, geo.tg)
+    out = out[..., :geo.cols_g * ws]
+    out = out.reshape(sb, c, geo.nwh, geo.ng, geo.cols_g, ws)
+    out = out.transpose(0, 1, 2, 5, 3, 4)          # [..., r, ng, kg]
+    out = out.reshape(sb, c, geo.hp, geo.ng * geo.cols_g)
+    out = out[:, :, :, :geo.wp]
+    return out[:, :, geo.pt:geo.pt + h, geo.pl:geo.pl + w]
+
+
+# ---------------------------------------------------------------------------
+# fusion-block kernel (HRFuserFusionBlock)
+# ---------------------------------------------------------------------------
+
+def _fusion_kernel(x_ref, z_ref, valid_ref, dwmask_ref,
+                   lnq_ref, lnkv_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                   wv_ref, bv_ref, wo_ref, bo_ref, bias_ref,
+                   ln3_ref, w1_ref, b1_ref, wdw_ref, bdw_ref,
+                   w2_ref, b2_ref, out_ref,
+                   xres, qln, qb, kb, vb, attnb, hid, accf,
+                   *, num_modalities: int, num_heads: int, c: int, ch: int,
+                   geo_key, dw_deltas, dw_taps, interpret: bool):
+    """One HRFuserFusionBlock on packed tokens (eval).
+
+    Residual semantics of ref `hrfuser_hrformer_based.py:305-317`:
+    every modality's MWCA queries the same frozen LN of the block
+    input, the raw modality feature is added too, then one shared
+    CrossFFN closes the block.
+    """
+    geo = _geometry(*geo_key)
+    n = geo.n
+    tg = geo.tg
+    dt = out_ref.dtype
+    roll = ((lambda a, sh: jnp.roll(a, sh, axis=1)) if interpret
+            else (lambda a, sh: pltpu.roll(a.astype(jnp.float32),
+                                           sh % n, 1)))
+    valid = valid_ref[:]
+
+    xres[:] = x_ref[0]
+    acc = xres[:].astype(jnp.float32)
+    for k in range(num_modalities):
+        # frozen-copy query: LN over the ORIGINAL x for every modality
+        qn = _ln_cf(xres[:], lnq_ref[0, k, 0], lnq_ref[0, k, 1])
+        qln[:] = (qn * valid).astype(dt)
+        z = z_ref[0, k * c:(k + 1) * c, :]
+        kn = (_ln_cf(z, lnkv_ref[0, k, 0], lnkv_ref[0, k, 1])
+              * valid).astype(dt)
+        qb[:] = (_cdot(wq_ref[0, k], qln[:]) + bq_ref[0, k]).astype(dt)
+        kb[:] = (_cdot(wk_ref[0, k], kn) + bk_ref[0, k]).astype(dt)
+        vb[:] = (_cdot(wv_ref[0, k], kn) + bv_ref[0, k]).astype(dt)
+        _attn_groups(qb, kb, vb, attnb, bias_ref[0, k],
+                     num_heads=num_heads, c=c, tg=tg,
+                     ngroups=geo.ngroups, dt=dt)
+        proj = _cdot(wo_ref[0, k], attnb[:]) + bo_ref[0, k]
+        acc = acc + z.astype(jnp.float32) + proj * valid
+    xres[:] = acc.astype(xres.dtype)
+
+    g3 = _ffn_segment(xres[:], valid, roll,
+                      ln3_ref, w1_ref, b1_ref, wdw_ref, bdw_ref,
+                      w2_ref, b2_ref, dwmask_ref, hid, accf,
+                      ch=ch, n=n, dt=dt, dw_deltas=dw_deltas,
+                      dw_taps=dw_taps)
+    out_ref[0] = ((xres[:].astype(jnp.float32) + g3)
+                  * valid).astype(dt)
+
+
+def stack_fusion_params(block: Dict[str, Any], num_modalities: int,
+                        num_heads: int, ws: int, g: int, tg: int,
+                        dtype) -> Dict[str, Array]:
+    """Stack one HRFuserFusionBlock's variables for `fusion_chain`."""
+    f32 = jnp.float32
+    p = block['params']
+    bs = block['batch_stats']
+    out: Dict[str, list] = {k: [] for k in
+                            ('lnq', 'lnkv', 'wq', 'bq', 'wk', 'bk',
+                             'wv', 'bv', 'wo', 'bo', 'bias')}
+    for k in range(num_modalities):
+        a = p[f'attn_{k}']
+        out['lnq'].append(jnp.stack(
+            [p[f'norm1_{k}']['scale'],
+             p[f'norm1_{k}']['bias']]).astype(f32)[..., None])
+        out['lnkv'].append(jnp.stack(
+            [p[f'norm2_{k}']['scale'],
+             p[f'norm2_{k}']['bias']]).astype(f32)[..., None])
+        for nm, wkey, bkey in (('q_proj', 'wq', 'bq'),
+                               ('k_proj', 'wk', 'bk'),
+                               ('v_proj', 'wv', 'bv'),
+                               ('out_proj', 'wo', 'bo')):
+            out[wkey].append(a[nm]['kernel'].astype(dtype))
+            out[bkey].append(a[nm]['bias'].astype(f32)[:, None])
+        out['bias'].append(build_group_bias(
+            a['rpe']['relative_position_bias_table'], num_heads, ws,
+            g, tg, dtype))
+    res = {k: jnp.stack(v)[None] for k, v in out.items()}   # [1, M, ...]
+    res['ln3'] = jnp.stack(
+        [p['norm3']['scale'], p['norm3']['bias']]).astype(f32)[None, ...,
+                                                               None]
+    ffn, fbs = p['ffn'], bs['ffn']
+    s1, t1 = _fold_bn(ffn['norm1']['bn'], fbs['norm1']['bn'])
+    s2, t2 = _fold_bn(ffn['norm2']['bn'], fbs['norm2']['bn'])
+    s3, t3 = _fold_bn(ffn['norm3']['bn'], fbs['norm3']['bn'])
+    res['w1'] = (ffn['fc1']['kernel'][0, 0] * s1[None, :]).astype(dtype)[None]
+    res['b1'] = (ffn['fc1']['bias'] * s1 + t1).astype(f32)[None, :, None]
+    res['wdw'] = (ffn['dw']['kernel'][:, :, 0, :] * s2[None, None, :]
+                  ).reshape(9, -1).T.astype(f32)[None]
+    res['bdw'] = (ffn['dw']['bias'] * s2 + t2).astype(f32)[None, :, None]
+    res['w2'] = (ffn['fc2']['kernel'][0, 0] * s3[None, :]).astype(dtype)[None]
+    res['b2'] = (ffn['fc2']['bias'] * s3 + t3).astype(f32)[None, :, None]
+    return res
+
+
+def fusion_chain(x: Array, mods: Sequence[Array], block: Dict[str, Any], *,
+                 num_heads: int, window: int = 7, group_windows: int = 8,
+                 interpret=None) -> Array:
+    """Run one HRFuserFusionBlock (eval) as a packed Pallas kernel.
+
+    x: [B, C, H, W]; mods: list of M [B, C, H, W] modality features.
+    `block` is the bound HRFuserFusionBlock's variable dict.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, c, h, w = x.shape
+    m = len(mods)
+    geo = _geometry(h, w, window, group_windows)
+    dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.bfloat16
+    ch = block['params']['ffn']['fc1']['kernel'].shape[-1]
+
+    params = stack_fusion_params(block, m, num_heads, window,
+                                 group_windows, geo.tg, dt)
+    dy_vars, dx_vars = geo.dw_factored()
+    dw_deltas = (tuple(d for d, _ in dy_vars[-1]),
+                 tuple(d for d, _ in dy_vars[1]))
+    dw_taps = tuple((d, dx) for d, _, dx in dx_vars)
+    masks = np.stack([mk for _, mk in dy_vars[-1]]
+                     + [mk for _, mk in dy_vars[1]]
+                     + [mk for _, mk, _ in dx_vars])
+
+    xp = _pack_tokens(x, geo, dt)
+    zp = _pack_tokens(jnp.concatenate([z.astype(dt) for z in mods], 1),
+                      geo, dt)
+    valid = jnp.asarray(geo.valid_mask(), jnp.float32)
+    dwmask = jnp.asarray(masks, jnp.float32)
+
+    bspec = lambda nc: pl.BlockSpec((1, nc, geo.n), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    cspec = lambda a: pl.BlockSpec(a.shape,
+                                   (lambda nd: lambda i: (0,) * nd)(a.ndim),
+                                   memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _fusion_kernel, num_modalities=m, num_heads=num_heads, c=c, ch=ch,
+        geo_key=(h, w, window, group_windows), dw_deltas=dw_deltas,
+        dw_taps=dw_taps, interpret=interpret)
+
+    order = ('lnq', 'lnkv', 'wq', 'bq', 'wk', 'bk', 'wv', 'bv', 'wo',
+             'bo', 'bias', 'ln3', 'w1', 'b1', 'wdw', 'bdw', 'w2', 'b2')
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[bspec(c), bspec(m * c), cspec(valid), cspec(dwmask)]
+        + [cspec(params[k]) for k in order],
+        out_specs=bspec(c),
+        out_shape=jax.ShapeDtypeStruct((b, c, geo.n), dt),
+        scratch_shapes=[
+            pltpu.VMEM((c, geo.n), dt),            # xres
+            pltpu.VMEM((c, geo.n), dt),            # qln
+            pltpu.VMEM((c, geo.n), dt),            # q
+            pltpu.VMEM((c, geo.n), dt),            # k
+            pltpu.VMEM((c, geo.n), dt),            # v
+            pltpu.VMEM((c, geo.n), dt),            # attn
+            pltpu.VMEM((ch, geo.n), dt),           # hidden
+            pltpu.VMEM((ch, geo.n), jnp.float32),  # dw accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel',),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, zp, valid, dwmask, *[params[k] for k in order])
+
+    return _unpack_tokens(out, geo, h, w).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -503,13 +724,7 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
         # pack tokens XLA-side: ONE 6-D transpose per chain (the kernel
         # permute dots are M=18-starved on the MXU: measured 1.74 ms
         # fixed per call at the money shape vs ~0.2 ms for this)
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0),
-                          (0, geo.ng * geo.cols_g - geo.wp)))
-        xp = xp.reshape(sb, c, geo.nwh, ws, geo.ng, geo.cols_g)
-        xp = xp.transpose(0, 1, 2, 4, 5, 3)        # [..., ng, kg, r]
-        xp = xp.reshape(sb, c, geo.nwh, geo.ng, geo.cols_g * ws)
-        xp = jnp.pad(xp, ((0, 0),) * 4 + ((0, geo.tg - geo.cols_g * ws),))
-        xp = xp.reshape(sb, c, geo.n)
+        xp = _pack_tokens(x, geo, dt)
         in_shape = (1, c, geo.n)
         out_shape = (sb, c, geo.n)
     else:
@@ -591,12 +806,7 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
       params['bias'])
 
     if XLA_PERMUTE:
-        out = out.reshape(sb, c, geo.nwh, geo.ng, geo.tg)
-        out = out[..., :geo.cols_g * ws]
-        out = out.reshape(sb, c, geo.nwh, geo.ng, geo.cols_g, ws)
-        out = out.transpose(0, 1, 2, 5, 3, 4)      # [..., r, ng, kg]
-        out = out.reshape(sb, c, geo.hp, geo.ng * geo.cols_g)
-        out = out[:, :, :, :geo.wp]
+        return _unpack_tokens(out, geo, h, w).astype(x.dtype)
     else:
         out = out.reshape(sb, geo.nwh, c, ws, geo.wp).transpose(0, 2, 1, 3, 4)
         out = out.reshape(sb, c, geo.hp, geo.wp)

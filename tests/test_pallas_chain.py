@@ -101,3 +101,29 @@ def test_chain_bf16_money_geometry_small_batch():
     got = got.astype(jnp.float32).transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=6e-2, rtol=6e-2)
+
+
+def test_fusion_chain_matches_flax():
+    """fusion_chain vs HRFuserFusionBlock (2 modalities, eval)."""
+    from hrfuser_tpu.layers.attention import HRFuserFusionBlock
+    from hrfuser_tpu.ops.pallas_chain import fusion_chain
+    h, w, c, heads, m = 14, 21, 6, 1, 2
+    rng = np.random.default_rng(5)
+    blk = HRFuserFusionBlock(num_heads=heads, num_modalities=m,
+                             window_size=7, mlp_ratio=2.0)
+    x = jnp.asarray(rng.normal(0, 1, (2, h, w, c)), jnp.float32)
+    mods = [jnp.asarray(rng.normal(0, 1, (2, h, w, c)), jnp.float32)
+            for _ in range(m)]
+    vs = blk.init(jax.random.PRNGKey(0), x, mods, False)
+    bs = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(0.1, 0.3, a.shape) ** 2 + 0.5
+                              if a.ndim else a, a.dtype),
+        vs.get('batch_stats', {}))
+    vs = {'params': vs['params'], 'batch_stats': bs}
+    ref = blk.apply(vs, x, mods, False)
+    got = fusion_chain(x.transpose(0, 3, 1, 2),
+                       [z.transpose(0, 3, 1, 2) for z in mods], vs,
+                       num_heads=heads, interpret=INTERPRET)
+    got = got.transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)

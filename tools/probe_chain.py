@@ -40,7 +40,7 @@ class Chain(nn.Module):
         return x
 
 
-def bench(fn, vs, xs, iters=30):
+def bench(fn, vs, xs, iters=30, sync=False):
     """Times over DISTINCT inputs: enqueueing the identical computation
     repeatedly measured 20x too fast on this stack (results appear to be
     deduped/cached somewhere between client and device), which produced
@@ -51,6 +51,8 @@ def bench(fn, vs, xs, iters=30):
     for i in range(iters):
         x = xs[i % len(xs)]
         out = fn(vs, x) if vs is not None else fn(x)
+        if sync:
+            jax.block_until_ready(out)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -63,6 +65,9 @@ def main():
     ap.add_argument('--shape', type=int, nargs=4, default=[96, 160, 18, 1],
                     help='H W C heads')
     ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--sync', action='store_true',
+                    help='hard-sync every call (exposes any async/'
+                         'caching artifacts in the streaming timing)')
     args = ap.parse_args()
     h, w, c, heads = args.shape
     b = args.batch
@@ -77,7 +82,7 @@ def main():
         m = Chain(L, heads)
         vs = m.init(jax.random.PRNGKey(0), x_cf)
         flax_fn = jax.jit(lambda v, x: m.apply(v, x))
-        t_flax = bench(flax_fn, vs, xs, iters=args.iters)
+        t_flax = bench(flax_fn, vs, xs, iters=args.iters, sync=args.sync)
 
         blocks = [{'params': vs['params'][f'b{i}'],
                    'batch_stats': vs['batch_stats'][f'b{i}']}
@@ -87,7 +92,7 @@ def main():
             return hrformer_chain(x, blocks, num_heads=heads,
                                   group_windows=args.g)
         chain_jit = jax.jit(chain_fn)
-        t_chain = bench(chain_jit, None, xs, iters=args.iters)
+        t_chain = bench(chain_jit, None, xs, iters=args.iters, sync=args.sync)
 
         # parity spot check on the same weights
         ref = np.asarray(flax_fn(vs, x_cf), np.float32)

@@ -42,8 +42,9 @@ def main():
     ap.add_argument('--pool', choices=['onehot', 'gather'], default=None)
     ap.add_argument('--bf16', action='store_true',
                     help='bf16 params/compute (the bench configuration)')
-    ap.add_argument('--roi-variant', choices=['v1', 'v2', 'v3', 'v4', 'v5', 'v6', 'v7'],
-                    default=None)
+    ap.add_argument('--roi-variant', choices=['v4', 'v7'], default=None)
+    ap.add_argument('--chain', choices=['auto', 'off', 'on'], default=None,
+                    help='override backbone chain_kernel')
     ap.add_argument('--zeros', action='store_true',
                     help='all-zero inference inputs (pre-r4 methodology; '
                          'flatters data-dependent paths — see bench.py)')
@@ -73,6 +74,10 @@ def main():
         model_cfg = dataclasses.replace(
             model_cfg, roi=dataclasses.replace(
                 model_cfg.roi, pallas_variant=args.roi_variant))
+    if args.chain:
+        model_cfg = dataclasses.replace(
+            model_cfg, backbone=dataclasses.replace(
+                model_cfg.backbone, chain_kernel=args.chain))
     cfg = dataclasses.replace(cfg, model=model_cfg)
 
     det = CascadeRCNN(cfg.model,
