@@ -89,14 +89,14 @@ FALLBACK = 16
 # major) rather than v1's (p, q). Consumers (cascade_roi_head, the
 # fallback merge below) key off this ONE set so a new variant can't
 # silently feed transposed 7x7 features downstream.
-QP_VARIANTS = ('v4', 'v7')
+QP_VARIANTS = ('v4', 'v7', 'v8')
 # Variants whose window covers EVERY clipped RoI (`_v5_span`): the
 # oversize-gather fallback runs zero iterations by construction.
-FULLCOV_VARIANTS = ('v7',)
+FULLCOV_VARIANTS = ('v7', 'v8')
 # Variants whose Wx/Wy strips are laid out chunk-major
 # ([N, nchunks*8, 32] instead of [N, out, span]) so the kernel can
 # slice one chunk's weight block with a dynamic sublane offset.
-CHUNK_MAJOR_VARIANTS = ('v7',)
+CHUNK_MAJOR_VARIANTS = ('v7', 'v8')
 
 
 def _v5_span(sizes) -> int:
@@ -432,9 +432,164 @@ def _kernel_v7(base_ref, wl_ref, ny_ref, nx_ref, flat_ref, wy_ref, wx_ref,
                 yacc_ref[0:out_size, :].astype(out_ref.dtype))
 
 
+def _kernel_v8(base_ref, wl_ref, ny_ref, nx_ref, flat_ref, wy_ref, wx_ref,
+               out_ref, s32_ref, sx_ref, xacc_ref, yacc_ref, sem_ref,
+               *, c: int, out_size: int, span: int):
+    """v8: v7 with async double-buffered staging.
+
+    v7 is issue-bound on the staging copies (~one [32, C] vector copy
+    per window row; G copies serialize against the x-pool dot each
+    trip). v8 turns the copies into DMA-engine transfers with two
+    staging buffers: while the MXU pools trip t from buffer t%2, the
+    DMA engines fill buffer (t+1)%2 with trip t+1's rows — loads and
+    dots overlap instead of serializing. Same math, same weights, same
+    trip counts as v7 (parity-gated by the shared kernel tests).
+    """
+    b = pl.program_id(0)
+    chunk_i = pl.program_id(1)
+    os8 = 8
+
+    @pl.when(jnp.logical_and(b == 0, chunk_i == 0))
+    def _init():
+        s32_ref[...] = jnp.zeros_like(s32_ref)
+        sx_ref[...] = jnp.zeros_like(sx_ref)
+
+    def start_trip(slot, row0, wl, t):
+        """Launch the G row-window DMAs of trip t into buffer `slot`.
+
+        Trip index t enumerates (row-group i, chunk k) pairs in the
+        kernel's traversal order; the caller maps t -> (i, k)."""
+        for g in range(V3_GROUP):
+            start = pl.multiple_of(row0 + g * wl, 8)
+            pltpu.make_async_copy(
+                flat_ref.at[0, pl.ds(start, 32), :],
+                s32_ref.at[slot, :, pl.ds(g * c, c)],
+                sem_ref.at[slot, g]).start()
+
+    def wait_trip(slot):
+        for g in range(V3_GROUP):
+            pltpu.make_async_copy(
+                flat_ref.at[0, pl.ds(0, 32), :],
+                s32_ref.at[slot, :, pl.ds(g * c, c)],
+                sem_ref.at[slot, g]).wait()
+
+    for r in range(CHUNK):
+        roi = chunk_i * CHUNK + r
+        base = base_ref[b, roi]
+        wl = wl_ref[b, roi]
+        nkx = (nx_ref[b, roi] + 31) // 32
+        n_rows = (ny_ref[b, roi] + V3_GROUP - 1) // V3_GROUP
+        n_trips = n_rows * nkx
+
+        def trip_origin(t, base=base, wl=wl, nkx=nkx):
+            i = t // nkx
+            k = t % nkx
+            return pl.multiple_of(base + i * V3_GROUP * wl, 8) + k * 32
+
+        start_trip(0, trip_origin(0), wl, 0)
+
+        def trip_body(t, carry, wl=wl, nkx=nkx, r=r,
+                      trip_origin=trip_origin, n_trips=n_trips):
+            slot = jax.lax.rem(t, 2)
+            nslot = jax.lax.rem(t + 1, 2)
+
+            @pl.when(t + 1 < n_trips)
+            def _prefetch():
+                start_trip(nslot, trip_origin(t + 1), wl, t + 1)
+
+            wait_trip(slot)
+            k = jax.lax.rem(t, nkx)
+            contrib = jax.lax.dot_general(
+                wx_ref[0, r, pl.ds(pl.multiple_of(k * 8, 8), 8), :],
+                s32_ref[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [8(q), G*C]
+
+            @pl.when(k == 0)
+            def _first():
+                xacc_ref[...] = contrib
+
+            @pl.when(k > 0)
+            def _accum():
+                xacc_ref[...] += contrib
+
+            @pl.when(k == nkx - 1)
+            def _emit(t=t, r=r, nkx=nkx):
+                i = t // nkx
+                res = xacc_ref[0:out_size, :].astype(sx_ref.dtype)
+                for g in range(V3_GROUP):
+                    sx_ref[i * V3_GROUP + g,
+                           r * os8:r * os8 + out_size, :] = (
+                        res[:, g * c:g * c + c])
+            return carry
+
+        jax.lax.fori_loop(0, n_trips, trip_body, 0)
+
+    # y-pool: identical to v7
+    for r in range(CHUNK):
+        nky = (ny_ref[b, chunk_i * CHUNK + r] + 31) // 32
+        for q in range(out_size):
+            yacc_ref[...] = jax.lax.dot_general(
+                wy_ref[0, r, 0:8, :], sx_ref[0:32, r * os8 + q, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [8(p), C]
+
+            def ychunk(k, carry, r=r, q=q):
+                yacc_ref[...] += jax.lax.dot_general(
+                    wy_ref[0, r, pl.ds(pl.multiple_of(k * 8, 8), 8), :],
+                    sx_ref[pl.ds(pl.multiple_of(k * 32, 8), 32),
+                           r * os8 + q, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return carry
+
+            jax.lax.fori_loop(1, nky, ychunk, 0)
+            out_ref[0, r, q * out_size:(q + 1) * out_size, :] = (
+                yacc_ref[0:out_size, :].astype(out_ref.dtype))
+
+
 def _call(base, wl, ny, wide, flat, wy, wx, bsz, n, c, out_size, interpret,
           variant: str = 'v7', span: int = SPAN):
     grid = (bsz, n // CHUNK)
+    if variant == 'v8':
+        assert span % 32 == 0 and span % V3_GROUP == 0, (span, V3_GROUP)
+        nk8 = (span // 32) * 8
+        # `wide` carries the raw nx extents; wy/wx are chunk-major
+        return pl.pallas_call(
+            functools.partial(_kernel_v8, c=c, out_size=out_size,
+                              span=span),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, flat.shape[1], c),
+                                 lambda b, i, *_: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, nk8, 32),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, CHUNK, nk8, 32),
+                                 lambda b, i, *_: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, CHUNK, out_size * out_size, c),
+                    lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((2, 32, V3_GROUP * c), jnp.bfloat16),
+                    pltpu.VMEM((span, CHUNK * 8, c), jnp.bfloat16),
+                    pltpu.VMEM((8, V3_GROUP * c), jnp.float32),
+                    pltpu.VMEM((8, c), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, V3_GROUP)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, n, out_size * out_size, c),
+                                           jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(base, wl, ny, wide, flat, wy, wx)
     if variant == 'v7':
         assert span % 32 == 0 and span % V3_GROUP == 0, (span, V3_GROUP)
         nk8 = (span // 32) * 8
