@@ -102,14 +102,18 @@ class ChainGeometry:
     dead padding.
     """
 
-    def __init__(self, h: int, w: int, ws: int = 7, group_windows: int = 8):
-        self.h, self.w, self.ws, self.g = h, w, ws, group_windows
+    def __init__(self, h: int, w: int, ws: int = 7, group_windows: int = 13):
         pt, pb, plft, pr = center_pad_shape(h, w, ws, ws)
         self.pt, self.pl = pt, plft
         self.hp = h + pt + pb                      # padded rows
         self.wp = w + plft + pr                    # padded cols (real ring)
         self.nwh = self.hp // ws
         self.nww = self.wp // ws
+        # never use groups wider than the window grid (small branches
+        # would pay pure dead lanes); g=13 beats 8 at branch-0 (49*13
+        # = 637 -> Tg 640: 0.5% lane pad vs 28% at g=8, N -17%)
+        group_windows = min(group_windows, self.nww)
+        self.h, self.w, self.ws, self.g = h, w, ws, group_windows
         self.ng = _rup(self.nww, group_windows) // group_windows
         self.tg = _rup(group_windows * ws * ws, 128)
         self.cols_g = group_windows * ws           # payload cols per group
@@ -276,22 +280,24 @@ def _cdot(w, x, out_f32=True):
     return r if out_f32 else r
 
 
-def _attn_groups(qb, kb, vb, attnb, bias2d, *, num_heads, c, tg,
+def _attn_groups(qkvb, attnb, bias2d, *, num_heads, c, tg,
                  ngroups, dt):
-    """Grouped masked-logits window attention: qb/kb/vb -> attnb."""
+    """Grouped masked-logits window attention.
+
+    `qkvb` holds q at rows [0, C), k at [C, 2C), v at [2C, 3C) (the
+    fused projection's output); the d^-0.5 scale is pre-folded into
+    Wq/bq by the param stackers."""
     d = c // num_heads
-    scale = d ** -0.5
 
     def group_body(i, carry):
         sl = pl.ds(i * tg, tg)
         for h in range(num_heads):
             rows = slice(h * d, (h + 1) * d)
-            q = qb[rows, sl]
-            k = kb[rows, sl]
-            v = vb[rows, sl]
+            q = qkvb[slice(h * d, (h + 1) * d), sl]
+            k = qkvb[slice(c + h * d, c + (h + 1) * d), sl]
+            v = qkvb[slice(2 * c + h * d, 2 * c + (h + 1) * d), sl]
             logits = jax.lax.dot_general(
-                (q.astype(jnp.float32) * scale).astype(dt), k,
-                (((0,), (0,)), ((), ())),
+                q, k, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)        # [Tg, Tg]
             logits = logits + bias2d[h].astype(jnp.float32)
             m = jnp.max(logits, axis=1, keepdims=True)
@@ -353,7 +359,7 @@ def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
                   ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                   ln2_ref, w1_ref, b1_ref, wdw_ref, bdw_ref,
                   w2_ref, b2_ref, bias_ref, out_ref,
-                  xres, qln, qb, kb, vb, attnb, hid, accf,
+                  xres, qln, qkvb, attnb, hid, accf,
                   *, num_blocks: int, num_heads: int, c: int, ch: int,
                   geo_key, dw_deltas, dw_taps, interpret: bool,
                   skip: str = '', xla_permute: bool = False):
@@ -391,15 +397,12 @@ def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
     # ---- LN1 + masked window attention + residual ----
     h1 = _ln_cf(xres[:], ln1_ref[0, 0], ln1_ref[0, 1])
     qln[:] = (h1 * valid).astype(dt)
-    qb[:] = (_cdot(wqkv_ref[0, :, 0:c], qln[:])
-             + bqkv_ref[0, 0:c, :]).astype(dt)
-    kb[:] = (_cdot(wqkv_ref[0, :, c:2 * c], qln[:])
-             + bqkv_ref[0, c:2 * c, :]).astype(dt)
-    vb[:] = (_cdot(wqkv_ref[0, :, 2 * c:3 * c], qln[:])
-             + bqkv_ref[0, 2 * c:3 * c, :]).astype(dt)
+    # one [C, 3C] @ [C, N] dot for q, k and v (M=3C fills the MXU 3x
+    # better than three M=C dots and saves two issues)
+    qkvb[:] = (_cdot(wqkv_ref[0], qln[:]) + bqkv_ref[0]).astype(dt)
 
     if 'attn' not in skip:               # lab attribution knob
-        _attn_groups(qb, kb, vb, attnb, bias_ref[0], num_heads=num_heads,
+        _attn_groups(qkvb, attnb, bias_ref[0], num_heads=num_heads,
                      c=c, tg=tg, ngroups=geo.ngroups, dt=dt)
     proj = _cdot(wo_ref[0], attnb[:]) + bo_ref[0]
     xres[:] = (xres[:].astype(jnp.float32) + proj * valid).astype(xres.dtype)
@@ -463,7 +466,7 @@ def _fusion_kernel(x_ref, z_ref, valid_ref, dwmask_ref,
                    wv_ref, bv_ref, wo_ref, bo_ref, bias_ref,
                    ln3_ref, w1_ref, b1_ref, wdw_ref, bdw_ref,
                    w2_ref, b2_ref, out_ref,
-                   xres, qln, qb, kb, vb, attnb, hid, accf,
+                   xres, qln, qkvb, attnb, hid, accf,
                    *, num_modalities: int, num_heads: int, c: int, ch: int,
                    geo_key, dw_deltas, dw_taps, interpret: bool):
     """One HRFuserFusionBlock on packed tokens (eval).
@@ -491,10 +494,13 @@ def _fusion_kernel(x_ref, z_ref, valid_ref, dwmask_ref,
         z = z_ref[0, k * c:(k + 1) * c, :]
         kn = (_ln_cf(z, lnkv_ref[0, k, 0], lnkv_ref[0, k, 1])
               * valid).astype(dt)
-        qb[:] = (_cdot(wq_ref[0, k], qln[:]) + bq_ref[0, k]).astype(dt)
-        kb[:] = (_cdot(wk_ref[0, k], kn) + bk_ref[0, k]).astype(dt)
-        vb[:] = (_cdot(wv_ref[0, k], kn) + bv_ref[0, k]).astype(dt)
-        _attn_groups(qb, kb, vb, attnb, bias_ref[0, k],
+        qkvb[0:c, :] = (_cdot(wq_ref[0, k], qln[:])
+                        + bq_ref[0, k]).astype(dt)
+        qkvb[c:2 * c, :] = (_cdot(wk_ref[0, k], kn)
+                            + bk_ref[0, k]).astype(dt)
+        qkvb[2 * c:3 * c, :] = (_cdot(wv_ref[0, k], kn)
+                                + bv_ref[0, k]).astype(dt)
+        _attn_groups(qkvb, attnb, bias_ref[0, k],
                      num_heads=num_heads, c=c, tg=tg,
                      ngroups=geo.ngroups, dt=dt)
         proj = _cdot(wo_ref[0, k], attnb[:]) + bo_ref[0, k]
@@ -528,12 +534,14 @@ def stack_fusion_params(block: Dict[str, Any], num_modalities: int,
         out['lnkv'].append(jnp.stack(
             [p[f'norm2_{k}']['scale'],
              p[f'norm2_{k}']['bias']]).astype(f32)[..., None])
-        for nm, wkey, bkey in (('q_proj', 'wq', 'bq'),
-                               ('k_proj', 'wk', 'bk'),
-                               ('v_proj', 'wv', 'bv'),
-                               ('out_proj', 'wo', 'bo')):
-            out[wkey].append(a[nm]['kernel'].astype(dtype))
-            out[bkey].append(a[nm]['bias'].astype(f32)[:, None])
+        scale = (p[f'attn_{k}']['q_proj']['kernel'].shape[0]
+                 // num_heads) ** -0.5
+        for nm, wkey, bkey, sc in (('q_proj', 'wq', 'bq', scale),
+                                   ('k_proj', 'wk', 'bk', 1.0),
+                                   ('v_proj', 'wv', 'bv', 1.0),
+                                   ('out_proj', 'wo', 'bo', 1.0)):
+            out[wkey].append((a[nm]['kernel'] * sc).astype(dtype))
+            out[bkey].append((a[nm]['bias'] * sc).astype(f32)[:, None])
         out['bias'].append(build_group_bias(
             a['rpe']['relative_position_bias_table'], num_heads, ws,
             g, tg, dtype))
@@ -556,7 +564,7 @@ def stack_fusion_params(block: Dict[str, Any], num_modalities: int,
 
 
 def fusion_chain(x: Array, mods: Sequence[Array], block: Dict[str, Any], *,
-                 num_heads: int, window: int = 7, group_windows: int = 8,
+                 num_heads: int, window: int = 7, group_windows: int = 13,
                  interpret=None) -> Array:
     """Run one HRFuserFusionBlock (eval) as a packed Pallas kernel.
 
@@ -572,7 +580,7 @@ def fusion_chain(x: Array, mods: Sequence[Array], block: Dict[str, Any], *,
     ch = block['params']['ffn']['fc1']['kernel'].shape[-1]
 
     params = stack_fusion_params(block, m, num_heads, window,
-                                 group_windows, geo.tg, dt)
+                                 geo.g, geo.tg, dt)
     dy_vars, dx_vars = geo.dw_factored()
     dw_deltas = (tuple(d for d, _ in dy_vars[-1]),
                  tuple(d for d, _ in dy_vars[1]))
@@ -610,9 +618,7 @@ def fusion_chain(x: Array, mods: Sequence[Array], block: Dict[str, Any], *,
         scratch_shapes=[
             pltpu.VMEM((c, geo.n), dt),            # xres
             pltpu.VMEM((c, geo.n), dt),            # qln
-            pltpu.VMEM((c, geo.n), dt),            # q
-            pltpu.VMEM((c, geo.n), dt),            # k
-            pltpu.VMEM((c, geo.n), dt),            # v
+            pltpu.VMEM((3 * c, geo.n), dt),        # fused q/k/v
             pltpu.VMEM((c, geo.n), dt),            # attn
             pltpu.VMEM((ch, geo.n), dt),           # hidden
             pltpu.VMEM((ch, geo.n), jnp.float32),  # dw accumulator
@@ -647,8 +653,16 @@ def stack_chain_params(blocks: Sequence[Dict[str, Any]], num_heads: int,
         a = p['attn']
         out['ln1'].append(jnp.stack(
             [p['norm1']['scale'], p['norm1']['bias']]).astype(f32)[..., None])
-        out['wqkv'].append(a['qkv']['kernel'].astype(dtype))
-        out['bqkv'].append(a['qkv']['bias'].astype(f32)[:, None])
+        # fold the attention scale d^-0.5 into Wq/bq so the kernel's
+        # logits dot consumes q directly (saves two value passes)
+        wqkv = a['qkv']['kernel']
+        bqkv = a['qkv']['bias']
+        c_ = wqkv.shape[0]
+        scale = (c_ // num_heads) ** -0.5
+        wqkv = jnp.concatenate([wqkv[:, :c_] * scale, wqkv[:, c_:]], 1)
+        bqkv = jnp.concatenate([bqkv[:c_] * scale, bqkv[c_:]])
+        out['wqkv'].append(wqkv.astype(dtype))
+        out['bqkv'].append(bqkv.astype(f32)[:, None])
         out['wo'].append(a['out_proj']['kernel'].astype(dtype))
         out['bo'].append(a['out_proj']['bias'].astype(f32)[:, None])
         out['ln2'].append(jnp.stack(
@@ -678,7 +692,7 @@ def stack_chain_params(blocks: Sequence[Dict[str, Any]], num_heads: int,
 
 def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
                    num_heads: int, window: int = 7, n_streams: int = 1,
-                   group_windows: int = 8, interpret=None,
+                   group_windows: int = 13, interpret=None,
                    xla_permute: bool = True) -> Array:
     """Run a chain of HRFormerBlocks (eval) in one Pallas kernel.
 
@@ -705,7 +719,7 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
     dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.bfloat16
     ch = blocks[0]['params']['ffn']['fc1']['kernel'].shape[-1]
 
-    params = stack_chain_params(blocks, num_heads, window, group_windows,
+    params = stack_chain_params(blocks, num_heads, window, geo.g,
                                 geo.tg, dt)
     dy_vars, dx_vars = geo.dw_factored()
     dw_deltas = (tuple(d for d, _ in dy_vars[-1]),
@@ -788,9 +802,7 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
         scratch_shapes=[
             pltpu.VMEM((c, geo.n), dt),            # xres
             pltpu.VMEM((c, geo.n), dt),            # qln
-            pltpu.VMEM((c, geo.n), dt),            # q
-            pltpu.VMEM((c, geo.n), dt),            # k
-            pltpu.VMEM((c, geo.n), dt),            # v
+            pltpu.VMEM((3 * c, geo.n), dt),        # fused q/k/v
             pltpu.VMEM((c, geo.n), dt),            # attn
             pltpu.VMEM((ch, geo.n), dt),           # hidden
             pltpu.VMEM((ch, geo.n), jnp.float32),  # dw accumulator

@@ -41,20 +41,24 @@ class Chain(nn.Module):
 
 
 def bench(fn, vs, xs, iters=30, sync=False):
-    """Times over DISTINCT inputs: enqueueing the identical computation
-    repeatedly measured 20x too fast on this stack (results appear to be
-    deduped/cached somewhere between client and device), which produced
-    the bogus 0.05 ms/block flax readings in early r5 probes."""
-    out = fn(vs, xs[0]) if vs is not None else fn(xs[0])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        x = xs[i % len(xs)]
+    """Per-call timing with HOST MATERIALIZATION of a scalar from the
+    output. On this stack `block_until_ready` does NOT reliably wait
+    for pure-XLA executables (streamed flax chains measured a bogus
+    0.02 ms/block, 60x below the K=18 MXU FLOP floor; per-call
+    float(sum(out)) measures 35 ms); only a host-read value proves
+    execution. `sync` is ignored (kept for CLI compat).
+    """
+    del sync
+    def call(x):
         out = fn(vs, x) if vs is not None else fn(x)
-        if sync:
-            jax.block_until_ready(out)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        return float(jnp.sum(out.astype(jnp.float32)[:1, :1, :8, :8]))
+    call(xs[0])                                   # warm
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        call(xs[i % len(xs)])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
 def main():
@@ -75,8 +79,16 @@ def main():
     rng = np.random.default_rng(0)
     x_nhwc = jnp.asarray(rng.normal(0, 1, (b, h, w, c)), jnp.bfloat16)
     x_cf = x_nhwc.transpose(0, 3, 1, 2)
-    # distinct per-iteration inputs (see bench docstring)
-    xs = [jax.block_until_ready(x_cf * (1.0 + 1e-4 * i)) for i in range(8)]
+    # one UNIQUE input per iteration: repeated (executable, buffer)
+    # pairs measure impossibly fast on this stack even with per-call
+    # hard sync — some layer caches results
+    xs = [jax.block_until_ready(x_cf * (1.0 + 1e-4 * i))
+          for i in range(args.iters)]
+
+    # per-call round-trip baseline (null jit), subtracted by the reader
+    null = jax.jit(lambda a: a[:1, :1, :8, :8] * 1.0)
+    nt = bench(null, None, xs, iters=args.iters)
+    print(f'null-call baseline: {nt*1e3:.2f} ms', flush=True)
 
     for L in args.blocks:
         m = Chain(L, heads)
