@@ -78,6 +78,10 @@ def main():
         Detections, serialized_name='hrfuser_tpu.Detections')
     in_specs = [jax.ShapeDtypeStruct(img.shape, img.dtype)]
     in_specs += [jax.ShapeDtypeStruct(m.shape, m.dtype) for m in mods]
+    # NOTE: traced on the session's default backend — on TPU the
+    # chain_kernel='auto' routing bakes the Pallas chain kernels into
+    # the artifact (TPU-serving artifact); exporting under
+    # JAX_PLATFORMS=cpu produces the portable pure-XLA flax path.
     exported = jexport.export(jax.jit(infer))(*in_specs)
     blob = exported.serialize()
     with open(args.out, 'wb') as f:
