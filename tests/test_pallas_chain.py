@@ -70,23 +70,25 @@ def test_chain_matches_flax(shape, heads, blocks):
                                atol=2e-2, rtol=2e-2)
 
 
-def test_chain_two_streams_stacked():
-    """Stream stacking: two independent weight sets on one grid."""
+@pytest.mark.parametrize('n_streams', [2, 3])
+def test_chain_streams_stacked(n_streams):
+    """Stream stacking: independent weight sets on one grid (2 streams
+    = nuScenes lidar+radar; 3 = STF lidar+radar+gated)."""
     h, w, c, heads = 14, 21, 6, 1
     rng = np.random.default_rng(1)
-    m0, vs0, x0 = _init_chain(rng, 2, heads, h, w, c)
-    m1, vs1, x1 = _init_chain(rng, 2, heads, h, w, c)
-    ref0 = m0.apply(vs0, x0)
-    ref1 = m1.apply(vs1, x1)
-    xin = jnp.concatenate([x0, x1], 0).transpose(0, 3, 1, 2)
-    blocks = ([_block_vars(vs0, i) for i in range(2)]
-              + [_block_vars(vs1, i) for i in range(2)])
-    got = hrformer_chain(xin, blocks, num_heads=heads, n_streams=2,
+    chains = [_init_chain(rng, 2, heads, h, w, c)
+              for _ in range(n_streams)]
+    refs = [m.apply(vs, x) for m, vs, x in chains]
+    xin = jnp.concatenate([x for _, _, x in chains],
+                          0).transpose(0, 3, 1, 2)
+    blocks = [_block_vars(vs, i) for _, vs, _ in chains
+              for i in range(2)]
+    got = hrformer_chain(xin, blocks, num_heads=heads,
+                         n_streams=n_streams,
                          interpret=INTERPRET).transpose(0, 2, 3, 1)
-    np.testing.assert_allclose(np.asarray(got[:2]), np.asarray(ref0),
-                               atol=2e-2, rtol=2e-2)
-    np.testing.assert_allclose(np.asarray(got[2:]), np.asarray(ref1),
-                               atol=2e-2, rtol=2e-2)
+    for k, ref in enumerate(refs):
+        np.testing.assert_allclose(np.asarray(got[2 * k:2 * k + 2]),
+                                   np.asarray(ref), atol=2e-2, rtol=2e-2)
 
 
 def test_chain_bf16_money_geometry_small_batch():
@@ -103,11 +105,13 @@ def test_chain_bf16_money_geometry_small_batch():
                                atol=6e-2, rtol=6e-2)
 
 
-def test_fusion_chain_matches_flax():
-    """fusion_chain vs HRFuserFusionBlock (2 modalities, eval)."""
+@pytest.mark.parametrize('m', [2, 3])
+def test_fusion_chain_matches_flax(m):
+    """fusion_chain vs HRFuserFusionBlock (2 mods = nuScenes, 3 = STF
+    4-modality config), eval."""
     from hrfuser_tpu.layers.attention import HRFuserFusionBlock
     from hrfuser_tpu.ops.pallas_chain import fusion_chain
-    h, w, c, heads, m = 14, 21, 6, 1, 2
+    h, w, c, heads = 14, 21, 6, 1
     rng = np.random.default_rng(5)
     blk = HRFuserFusionBlock(num_heads=heads, num_modalities=m,
                              window_size=7, mlp_ratio=2.0)
