@@ -29,10 +29,12 @@ This kernel changes the DECOMPOSITION, not the tuning:
     Waste is bounded by `group_windows` (default 8: ~8x logits FLOPs
     on an MXU that is idle here anyway) instead of the full-slab
     T^2 = 1127^2 that made slab attention a 4.8x loser (perf/r4_07).
-  * The CrossFFN depthwise 3x3 is 25 masked lane-roll FMAs (each
-    spatial neighbour offset is a fixed lane delta in this layout,
-    with 2 crossing variants per axis); torch zero-padding falls out
-    of masking the hidden ring to zero, as in `ops/pallas_block.py`.
+  * The CrossFFN depthwise 3x3 is 16 masked f32 lane-rolls (factored:
+    3 row-shifted streams x per-stream column rolls — each spatial
+    neighbour offset is a fixed lane delta in this layout, with 2
+    crossing variants per axis, and the two axes commute); torch
+    zero-padding falls out of masking the hidden ring to zero, as in
+    `ops/pallas_block.py`.
   * Entry/exit relayout (row-major CF slabs <-> the packed token
     order) is a 0/1 permutation matmul per window-row slab on the MXU
     — paid once per CHAIN, not per block (the 6-D partition/reverse
@@ -779,7 +781,6 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
                                    memory_space=pltpu.VMEM)
 
     skip = os.environ.get('HRFUSER_CHAIN_SKIP', '')
-    del xla_permute
     kernel = functools.partial(
         _chain_kernel, num_blocks=num_blocks, num_heads=num_heads,
         c=c, ch=ch, geo_key=(h, w, window, group_windows),
@@ -810,6 +811,11 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
             pltpu.VMEM((ch, geo.n), dt),           # hidden
             pltpu.VMEM((ch, geo.n), jnp.float32),  # dw accumulator
         ],
+        # donate the packed input buffer to the output: the chain
+        # reads x only at l==0 (into scratch) and writes out only at
+        # l==num_blocks-1, so aliasing is safe and saves one HBM
+        # buffer + copy per call
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'arbitrary'),
             vmem_limit_bytes=110 * 1024 * 1024),
