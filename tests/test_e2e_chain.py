@@ -176,6 +176,28 @@ def test_chain_create_data_to_metrics(tmp_path):
             losses.append(float(metrics['loss']))
     assert np.isfinite(losses).all(), losses
 
+    # --- checkpoint/resume seam (SURVEY 5.4): save, restore into a
+    # fresh state, take one more step ---
+    from hrfuser_tpu.utils.checkpoint import load_state, save_checkpoint
+    ckpt_dir = os.path.join(root, 'ckpts')
+    save_checkpoint(ckpt_dir, int(state.step), state)
+    fresh, _ = create_train_state(det, variables, cfg.optim, cfg.schedule,
+                                  steps_per_epoch=len(train_loader))
+    resumed = load_state(ckpt_dir, fresh)   # resolves ckpts/latest
+    assert int(resumed.step) == int(state.step)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(resumed.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+    resumed = replicate(mesh, resumed)
+    batch = next(iter(train_loader))
+    jb = {k: jnp.asarray(v) if k != 'mod_imgs' else
+          [jnp.asarray(m) for m in v]
+          for k, v in batch.items() if k not in ('metas', 'num_real')}
+    resumed, rmetrics = step(resumed, shard_batch(mesh, jb),
+                             replicate(mesh, jax.random.PRNGKey(99)))
+    assert np.isfinite(float(rmetrics['loss']))
+    state = resumed
+
     # --- sharded eval + metric chain ---
     test_loader = DetDataLoader(ds, data_cfg, batch_size=8, train=False,
                                 prefetch=0)
