@@ -163,7 +163,13 @@ class HRModule(nn.Module):
         feats = []
         for i in range(nb):
             x = xs[i]
-            if is_former and chain:
+            from hrfuser_tpu.ops.pallas_chain import chain_fits
+            bb, hh, ww, cc = x.shape
+            if (is_former and chain
+                    and chain_fits(hh, ww, cc,
+                                   int(cc * s.mlp_ratios[i]),
+                                   s.window_sizes[i],
+                                   num_heads=s.num_heads[i])):
                 from hrfuser_tpu.ops.pallas_chain import hrformer_chain
                 nblk = s.num_blocks[i]
                 v = self.variables

@@ -49,22 +49,29 @@ class FusionBank(nn.Module):
                  train: bool) -> List[Array]:
         from hrfuser_tpu.ops.pallas_chain import resolve_chain
         f = self.fusion
+        from hrfuser_tpu.ops.pallas_chain import chain_fits
         chain = (not self.is_initializing()
                  and resolve_chain(self.chain_kernel, train))
         if chain:
             from hrfuser_tpu.ops.pallas_chain import fusion_chain
             v = self.variables
             out = []
-            for i in range(f.num_branches):
-                blk = {'params': v['params'][f'branch{i}'],
-                       'batch_stats': v['batch_stats'][f'branch{i}']}
-                y = fusion_chain(
-                    xs[i].transpose(0, 3, 1, 2),
-                    [z.transpose(0, 3, 1, 2) for z in mods[i]], blk,
-                    num_heads=f.num_heads[i],
-                    window=f.window_sizes[i])
-                out.append(y.transpose(0, 2, 3, 1))
-            return out
+            fits = all(
+                chain_fits(xs[i].shape[1], xs[i].shape[2], xs[i].shape[3],
+                           int(xs[i].shape[3] * f.mlp_ratios[i]),
+                           f.window_sizes[i], num_heads=f.num_heads[i])
+                for i in range(f.num_branches))
+            if fits:
+                for i in range(f.num_branches):
+                    blk = {'params': v['params'][f'branch{i}'],
+                           'batch_stats': v['batch_stats'][f'branch{i}']}
+                    y = fusion_chain(
+                        xs[i].transpose(0, 3, 1, 2),
+                        [z.transpose(0, 3, 1, 2) for z in mods[i]], blk,
+                        num_heads=f.num_heads[i],
+                        window=f.window_sizes[i])
+                    out.append(y.transpose(0, 2, 3, 1))
+                return out
         blk_cls = (nn.remat(HRFuserFusionBlock, static_argnums=(3,))
                    if self.remat else HRFuserFusionBlock)
         out = []
@@ -110,9 +117,14 @@ class ModalityStage(nn.Module):
     @nn.compact
     def __call__(self, feats: List[Array], train: bool) -> List[Array]:
         from hrfuser_tpu.ops.pallas_chain import resolve_chain
+        from hrfuser_tpu.ops.pallas_chain import chain_fits
         s = self.stage
+        _, fh, fw, fc = feats[0].shape
         if (s.block == 'HRFORMER' and not self.is_initializing()
-                and resolve_chain(self.chain_kernel, train)):
+                and resolve_chain(self.chain_kernel, train)
+                and chain_fits(fh, fw, fc, int(fc * s.mlp_ratios[0]),
+                               s.window_sizes[0],
+                               num_heads=s.num_heads[0])):
             from hrfuser_tpu.ops.pallas_chain import hrformer_chain
             v = self.variables
             blocks = []

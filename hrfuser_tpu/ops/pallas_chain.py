@@ -94,6 +94,39 @@ def resolve_chain(mode: str, train: bool) -> bool:
     return jax.default_backend() == 'tpu'
 
 
+# VMEM the chain kernel may claim for its resident scratches. Above
+# this the router falls back to flax: HRFuser-B's branch-0 chain
+# (C=78, hidden 312) measured a 239 MB-of-128 MB VMEM compile OOM
+# when routed through the kernel unconditionally (r5).
+_SCRATCH_BUDGET = 40 * 1024 * 1024
+
+
+def chain_fits(h: int, w: int, c: int, ch: int, ws: int = 7,
+               group_windows: int = 13, num_heads: int = 1) -> bool:
+    """True when the kernel can safely run this geometry.
+
+    Two gates:
+      * VMEM: 6 bf16 [C, N]-class scratches (x, qln, fused qkv=3C,
+        attn) + bf16 hidden [Ch, N] + f32 dw accumulator [Ch, N]
+        (bf16 sublanes padded to 16) within _SCRATCH_BUDGET —
+        HRFuser-B's branch-0 chain compile-OOMed at 239M/128M without
+        this.
+      * even head dim: the per-head q/k/v sublane slices start at
+        multiples of d; odd d (HRFuser-B: d=39) means odd bf16
+        sublane offsets — misaligned packed sublane pairs, observed
+        as a TPU-worker crash at runtime (r5). The validated family
+        (HRFuser-T/HRFormer-T: d=18 at every branch) passes.
+    """
+    d = c // max(num_heads, 1)
+    if d % 2 != 0:
+        return False
+    geo = _geometry(h, w, ws, group_windows)
+    pad16 = lambda x: -(-x // 16) * 16
+    bytes_ = (pad16(c) * 3 + pad16(3 * c) + pad16(ch)) * 2 * geo.n \
+        + pad16(ch) * 4 * geo.n
+    return bytes_ <= _SCRATCH_BUDGET
+
+
 class ChainGeometry:
     """Static token-layout bookkeeping for one (H, W, ws, g) shape.
 
