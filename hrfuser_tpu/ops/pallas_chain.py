@@ -105,25 +105,30 @@ def chain_fits(h: int, w: int, c: int, ch: int, ws: int = 7,
                group_windows: int = 13, num_heads: int = 1) -> bool:
     """True when the kernel can safely run this geometry.
 
-    Two gates:
-      * VMEM: 6 bf16 [C, N]-class scratches (x, qln, fused qkv=3C,
-        attn) + bf16 hidden [Ch, N] + f32 dw accumulator [Ch, N]
-        (bf16 sublanes padded to 16) within _SCRATCH_BUDGET —
-        HRFuser-B's branch-0 chain compile-OOMed at 239M/128M without
-        this.
-      * even head dim: the per-head q/k/v sublane slices start at
-        multiples of d; odd d (HRFuser-B: d=39) means odd bf16
-        sublane offsets — misaligned packed sublane pairs, observed
-        as a TPU-worker crash at runtime (r5). The validated family
-        (HRFuser-T/HRFormer-T: d=18 at every branch) passes.
+    Three gates:
+      * validated channel family: c <= 144 (every HRFuser-T /
+        HRFormer-T branch). HRFuser-B's geometries (c = 78..624)
+        crash the TPU worker at runtime with an opaque kernel fault —
+        first suspected to be its odd head dim (d=39: odd bf16
+        sublane offsets for the per-head slices), but the crash
+        SURVIVES the stackers' even-d padding (d 39->40), so the
+        trigger lies elsewhere in the untested large-C territory.
+        Until it is root-caused on hardware, B routes to flax.
+      * even head dim (cheap and principled; the padding machinery
+        that lifts this is in the stackers and parity-tested).
+      * VMEM: scratches x/qln [C, N] + fused qkv [3*c_att, N] + attn
+        [c_att, N] bf16 + hidden [Ch, N] bf16 + f32 dw accumulator
+        [Ch, N] within _SCRATCH_BUDGET (B's branch-0 chain
+        compile-OOMed at 239M/128M without this).
     """
-    d = c // max(num_heads, 1)
-    if d % 2 != 0:
+    if c > 144:
         return False
+    d = c // max(num_heads, 1)
+    c_att = max(num_heads, 1) * (d + (d % 2))
     geo = _geometry(h, w, ws, group_windows)
     pad16 = lambda x: -(-x // 16) * 16
-    bytes_ = (pad16(c) * 3 + pad16(3 * c) + pad16(ch)) * 2 * geo.n \
-        + pad16(ch) * 4 * geo.n
+    bytes_ = (pad16(c) * 2 + pad16(3 * c_att) + pad16(c_att)
+              + pad16(ch)) * 2 * geo.n + pad16(ch) * 4 * geo.n
     return bytes_ <= _SCRATCH_BUDGET
 
 
@@ -315,22 +320,26 @@ def _cdot(w, x, out_f32=True):
     return r if out_f32 else r
 
 
-def _attn_groups(qkvb, attnb, bias2d, *, num_heads, c, tg,
+def _attn_groups(qkvb, attnb, bias2d, *, num_heads, dh, c_att, tg,
                  ngroups, dt):
     """Grouped masked-logits window attention.
 
-    `qkvb` holds q at rows [0, C), k at [C, 2C), v at [2C, 3C) (the
-    fused projection's output); the d^-0.5 scale is pre-folded into
-    Wq/bq by the param stackers."""
-    d = c // num_heads
+    `qkvb` holds q at rows [0, c_att), k at [c_att, 2*c_att), v at
+    [2*c_att, 3*c_att), where c_att = num_heads * dh and dh is the
+    head dim padded to EVEN (odd head dims — HRFuser-B's d=39 — put
+    per-head sublane slices at odd bf16 offsets, which crashed the
+    TPU worker; the stackers pad with zero columns/rows, which are
+    mathematically inert through logits, softmax and pv). The d^-0.5
+    scale is pre-folded into Wq/bq by the param stackers."""
 
     def group_body(i, carry):
         sl = pl.ds(i * tg, tg)
         for h in range(num_heads):
-            rows = slice(h * d, (h + 1) * d)
-            q = qkvb[slice(h * d, (h + 1) * d), sl]
-            k = qkvb[slice(c + h * d, c + (h + 1) * d), sl]
-            v = qkvb[slice(2 * c + h * d, 2 * c + (h + 1) * d), sl]
+            rows = slice(h * dh, (h + 1) * dh)
+            q = qkvb[slice(h * dh, (h + 1) * dh), sl]
+            k = qkvb[slice(c_att + h * dh, c_att + (h + 1) * dh), sl]
+            v = qkvb[slice(2 * c_att + h * dh,
+                           2 * c_att + (h + 1) * dh), sl]
             logits = jax.lax.dot_general(
                 q, k, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)        # [Tg, Tg]
@@ -399,8 +408,9 @@ def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
                   w2_ref, b2_ref, bias_ref, out_ref,
                   xres, qln, qkvb, attnb, hid, accf,
                   *, num_blocks: int, num_heads: int, c: int, ch: int,
-                  geo_key, dw_deltas, dw_taps, interpret: bool,
-                  skip: str = '', xla_permute: bool = False):
+                  c_att: int, geo_key, dw_deltas, dw_taps,
+                  interpret: bool, skip: str = '',
+                  xla_permute: bool = False):
     geo = _geometry(*geo_key)
     n = geo.n
     tg = geo.tg
@@ -441,7 +451,8 @@ def _chain_kernel(x_ref, pin_ref, pout_ref, valid_ref, dwmask_ref,
 
     if 'attn' not in skip:               # lab attribution knob
         _attn_groups(qkvb, attnb, bias_ref[0], num_heads=num_heads,
-                     c=c, tg=tg, ngroups=geo.ngroups, dt=dt)
+                     dh=c_att // num_heads, c_att=c_att, tg=tg,
+                     ngroups=geo.ngroups, dt=dt)
     proj = _cdot(wo_ref[0], attnb[:]) + bo_ref[0]
     xres[:] = (xres[:].astype(jnp.float32) + proj * valid).astype(xres.dtype)
 
@@ -506,7 +517,8 @@ def _fusion_kernel(x_ref, z_ref, valid_ref, dwmask_ref,
                    w2_ref, b2_ref, out_ref,
                    xres, qln, qkvb, attnb, hid, accf,
                    *, num_modalities: int, num_heads: int, c: int, ch: int,
-                   geo_key, dw_deltas, dw_taps, interpret: bool):
+                   c_att: int, geo_key, dw_deltas, dw_taps,
+                   interpret: bool):
     """One HRFuserFusionBlock on packed tokens (eval).
 
     Residual semantics of ref `hrfuser_hrformer_based.py:305-317`:
@@ -532,15 +544,15 @@ def _fusion_kernel(x_ref, z_ref, valid_ref, dwmask_ref,
         z = z_ref[0, k * c:(k + 1) * c, :]
         kn = (_ln_cf(z, lnkv_ref[0, k, 0], lnkv_ref[0, k, 1])
               * valid).astype(dt)
-        qkvb[0:c, :] = (_cdot(wq_ref[0, k], qln[:])
-                        + bq_ref[0, k]).astype(dt)
-        qkvb[c:2 * c, :] = (_cdot(wk_ref[0, k], kn)
-                            + bk_ref[0, k]).astype(dt)
-        qkvb[2 * c:3 * c, :] = (_cdot(wv_ref[0, k], kn)
-                                + bv_ref[0, k]).astype(dt)
+        qkvb[0:c_att, :] = (_cdot(wq_ref[0, k], qln[:])
+                            + bq_ref[0, k]).astype(dt)
+        qkvb[c_att:2 * c_att, :] = (_cdot(wk_ref[0, k], kn)
+                                    + bk_ref[0, k]).astype(dt)
+        qkvb[2 * c_att:3 * c_att, :] = (_cdot(wv_ref[0, k], kn)
+                                        + bv_ref[0, k]).astype(dt)
         _attn_groups(qkvb, attnb, bias_ref[0, k],
-                     num_heads=num_heads, c=c, tg=tg,
-                     ngroups=geo.ngroups, dt=dt)
+                     num_heads=num_heads, dh=c_att // num_heads,
+                     c_att=c_att, tg=tg, ngroups=geo.ngroups, dt=dt)
         proj = _cdot(wo_ref[0, k], attnb[:]) + bo_ref[0, k]
         acc = acc + z.astype(jnp.float32) + proj * valid
     xres[:] = acc.astype(xres.dtype)
@@ -572,14 +584,21 @@ def stack_fusion_params(block: Dict[str, Any], num_modalities: int,
         out['lnkv'].append(jnp.stack(
             [p[f'norm2_{k}']['scale'],
              p[f'norm2_{k}']['bias']]).astype(f32)[..., None])
-        scale = (p[f'attn_{k}']['q_proj']['kernel'].shape[0]
-                 // num_heads) ** -0.5
+        c_ = p[f'attn_{k}']['q_proj']['kernel'].shape[0]
+        d = c_ // num_heads
+        dh = d + (d % 2)
+        scale = d ** -0.5
         for nm, wkey, bkey, sc in (('q_proj', 'wq', 'bq', scale),
                                    ('k_proj', 'wk', 'bk', 1.0),
-                                   ('v_proj', 'wv', 'bv', 1.0),
-                                   ('out_proj', 'wo', 'bo', 1.0)):
-            out[wkey].append((a[nm]['kernel'] * sc).astype(dtype))
-            out[bkey].append((a[nm]['bias'] * sc).astype(f32)[:, None])
+                                   ('v_proj', 'wv', 'bv', 1.0)):
+            wj, bj = _pad_heads_cols(a[nm]['kernel'] * sc,
+                                     a[nm]['bias'] * sc,
+                                     num_heads, dh, d)
+            out[wkey].append(wj.astype(dtype))
+            out[bkey].append(bj.astype(f32)[:, None])
+        out['wo'].append(_pad_heads_rows(
+            a['out_proj']['kernel'], num_heads, dh, d).astype(dtype))
+        out['bo'].append(a['out_proj']['bias'].astype(f32)[:, None])
         out['bias'].append(build_group_bias(
             a['rpe']['relative_position_bias_table'], num_heads, ws,
             g, tg, dtype))
@@ -616,6 +635,8 @@ def fusion_chain(x: Array, mods: Sequence[Array], block: Dict[str, Any], *,
     geo = _geometry(h, w, window, group_windows)
     dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.bfloat16
     ch = block['params']['ffn']['fc1']['kernel'].shape[-1]
+    d = c // num_heads
+    c_att = num_heads * (d + (d % 2))
 
     params = stack_fusion_params(block, m, num_heads, window,
                                  geo.g, geo.tg, dt)
@@ -641,8 +662,8 @@ def fusion_chain(x: Array, mods: Sequence[Array], block: Dict[str, Any], *,
 
     kernel = functools.partial(
         _fusion_kernel, num_modalities=m, num_heads=num_heads, c=c, ch=ch,
-        geo_key=(h, w, window, group_windows), dw_deltas=dw_deltas,
-        dw_taps=dw_taps, interpret=interpret)
+        c_att=c_att, geo_key=(h, w, window, group_windows),
+        dw_deltas=dw_deltas, dw_taps=dw_taps, interpret=interpret)
 
     order = ('lnq', 'lnkv', 'wq', 'bq', 'wk', 'bk', 'wv', 'bv', 'wo',
              'bo', 'bias', 'ln3', 'w1', 'b1', 'wdw', 'bdw', 'w2', 'b2')
@@ -656,8 +677,8 @@ def fusion_chain(x: Array, mods: Sequence[Array], block: Dict[str, Any], *,
         scratch_shapes=[
             pltpu.VMEM((c, geo.n), dt),            # xres
             pltpu.VMEM((c, geo.n), dt),            # qln
-            pltpu.VMEM((3 * c, geo.n), dt),        # fused q/k/v
-            pltpu.VMEM((c, geo.n), dt),            # attn
+            pltpu.VMEM((3 * c_att, geo.n), dt),    # fused q/k/v
+            pltpu.VMEM((c_att, geo.n), dt),        # attn
             pltpu.VMEM((ch, geo.n), dt),           # hidden
             pltpu.VMEM((ch, geo.n), jnp.float32),  # dw accumulator
         ],
@@ -673,6 +694,28 @@ def fusion_chain(x: Array, mods: Sequence[Array], block: Dict[str, Any], *,
 # ---------------------------------------------------------------------------
 # weight stacking from flax block variable dicts
 # ---------------------------------------------------------------------------
+
+def _pad_heads_cols(w, b, num_heads, dh, d):
+    """[C, nh*d] weight / [nh*d] bias -> [C, nh*dh] / [nh*dh] with
+    zero columns appended per head (inert through the attention)."""
+    if dh == d:
+        return w, b
+    c_in = w.shape[0]
+    w = w.reshape(c_in, num_heads, d)
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, dh - d))).reshape(c_in, -1)
+    b = jnp.pad(b.reshape(num_heads, d),
+                ((0, 0), (0, dh - d))).reshape(-1)
+    return w, b
+
+
+def _pad_heads_rows(w, num_heads, dh, d):
+    """[nh*d, C] out-proj -> [nh*dh, C] with zero rows per head."""
+    if dh == d:
+        return w
+    c_out = w.shape[1]
+    w = w.reshape(num_heads, d, c_out)
+    return jnp.pad(w, ((0, 0), (0, dh - d), (0, 0))).reshape(-1, c_out)
+
 
 def stack_chain_params(blocks: Sequence[Dict[str, Any]], num_heads: int,
                        ws: int, g: int, tg: int, dtype) -> Dict[str, Array]:
@@ -692,16 +735,25 @@ def stack_chain_params(blocks: Sequence[Dict[str, Any]], num_heads: int,
         out['ln1'].append(jnp.stack(
             [p['norm1']['scale'], p['norm1']['bias']]).astype(f32)[..., None])
         # fold the attention scale d^-0.5 into Wq/bq so the kernel's
-        # logits dot consumes q directly (saves two value passes)
+        # logits dot consumes q directly (saves two value passes);
+        # pad each head to an EVEN dim (see _attn_groups)
         wqkv = a['qkv']['kernel']
         bqkv = a['qkv']['bias']
         c_ = wqkv.shape[0]
-        scale = (c_ // num_heads) ** -0.5
-        wqkv = jnp.concatenate([wqkv[:, :c_] * scale, wqkv[:, c_:]], 1)
-        bqkv = jnp.concatenate([bqkv[:c_] * scale, bqkv[c_:]])
-        out['wqkv'].append(wqkv.astype(dtype))
-        out['bqkv'].append(bqkv.astype(f32)[:, None])
-        out['wo'].append(a['out_proj']['kernel'].astype(dtype))
+        d = c_ // num_heads
+        dh = d + (d % 2)
+        scale = d ** -0.5
+        parts_w, parts_b = [], []
+        for j, sc in ((0, scale), (1, 1.0), (2, 1.0)):
+            wj, bj = _pad_heads_cols(wqkv[:, j * c_:(j + 1) * c_] * sc,
+                                     bqkv[j * c_:(j + 1) * c_] * sc,
+                                     num_heads, dh, d)
+            parts_w.append(wj)
+            parts_b.append(bj)
+        out['wqkv'].append(jnp.concatenate(parts_w, 1).astype(dtype))
+        out['bqkv'].append(jnp.concatenate(parts_b).astype(f32)[:, None])
+        out['wo'].append(_pad_heads_rows(
+            a['out_proj']['kernel'], num_heads, dh, d).astype(dtype))
         out['bo'].append(a['out_proj']['bias'].astype(f32)[:, None])
         out['ln2'].append(jnp.stack(
             [p['norm2']['scale'], p['norm2']['bias']]).astype(f32)[..., None])
@@ -756,6 +808,8 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
     geo = _geometry(h, w, window, group_windows)
     dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.bfloat16
     ch = blocks[0]['params']['ffn']['fc1']['kernel'].shape[-1]
+    d = c // num_heads
+    c_att = num_heads * (d + (d % 2))
 
     params = stack_chain_params(blocks, num_heads, window, geo.g,
                                 geo.tg, dt)
@@ -816,7 +870,8 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
     skip = os.environ.get('HRFUSER_CHAIN_SKIP', '')
     kernel = functools.partial(
         _chain_kernel, num_blocks=num_blocks, num_heads=num_heads,
-        c=c, ch=ch, geo_key=(h, w, window, group_windows),
+        c=c, ch=ch, c_att=c_att,
+        geo_key=(h, w, window, group_windows),
         dw_deltas=dw_deltas, dw_taps=dw_taps, interpret=interpret,
         skip=skip, xla_permute=XLA_PERMUTE)
 
@@ -839,8 +894,8 @@ def hrformer_chain(x: Array, blocks: Sequence[Dict[str, Any]], *,
         scratch_shapes=[
             pltpu.VMEM((c, geo.n), dt),            # xres
             pltpu.VMEM((c, geo.n), dt),            # qln
-            pltpu.VMEM((3 * c, geo.n), dt),        # fused q/k/v
-            pltpu.VMEM((c, geo.n), dt),            # attn
+            pltpu.VMEM((3 * c_att, geo.n), dt),        # fused q/k/v
+            pltpu.VMEM((c_att, geo.n), dt),            # attn
             pltpu.VMEM((ch, geo.n), dt),           # hidden
             pltpu.VMEM((ch, geo.n), jnp.float32),  # dw accumulator
         ],

@@ -56,6 +56,7 @@ def _block_vars(vs, i):
     ((14, 21, 6), 1, 2),         # 2x3 windows, 1 group
     ((16, 30, 8), 2, 2),         # ragged: pads to windows + group
     ((14, 119, 6), 1, 1),        # 17 windows -> 3 groups of 8 (2 ragged)
+    ((14, 21, 6), 2, 1),         # ODD head dim (d=3 -> padded to 4)
 ])
 def test_chain_matches_flax(shape, heads, blocks):
     h, w, c = shape
@@ -105,13 +106,14 @@ def test_chain_bf16_money_geometry_small_batch():
                                atol=6e-2, rtol=6e-2)
 
 
-@pytest.mark.parametrize('m', [2, 3])
-def test_fusion_chain_matches_flax(m):
+@pytest.mark.parametrize('m,heads', [(2, 1), (3, 1), (2, 2)])
+def test_fusion_chain_matches_flax(m, heads):
     """fusion_chain vs HRFuserFusionBlock (2 mods = nuScenes, 3 = STF
-    4-modality config), eval."""
+    4-modality config; heads=2 exercises the odd-head-dim padding,
+    d=3 -> 4), eval."""
     from hrfuser_tpu.layers.attention import HRFuserFusionBlock
     from hrfuser_tpu.ops.pallas_chain import fusion_chain
-    h, w, c, heads = 14, 21, 6, 1
+    h, w, c = 14, 21, 6
     rng = np.random.default_rng(5)
     blk = HRFuserFusionBlock(num_heads=heads, num_modalities=m,
                              window_size=7, mlp_ratio=2.0)
